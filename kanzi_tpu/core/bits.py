@@ -103,6 +103,15 @@ class BitWriter:
         self._segments.append(("b", (arr, n)))
         self._nbits += n
 
+    def write_bit_array(self, bits: np.ndarray) -> None:
+        """Append a 0/1 uint8 bit array verbatim."""
+        bits = np.asarray(bits, dtype=np.uint8)
+        if bits.size == 0:
+            return
+        self._flush_pending()
+        self._segments.append(("a", bits))
+        self._nbits += bits.size
+
     # -- finalization ----------------------------------------------------
 
     @property
@@ -129,6 +138,8 @@ class BitWriter:
             if kind == "v":
                 vals, cnts = payload
                 seg = pack_msb(vals, cnts)
+            elif kind == "a":
+                seg = payload
             else:
                 arr, n = payload
                 seg = np.unpackbits(arr)[:n]
@@ -143,6 +154,8 @@ class BitWriter:
             if kind == "v":
                 vals, cnts = payload
                 segs.append(pack_msb(vals, cnts))
+            elif kind == "a":
+                segs.append(payload)
             else:
                 arr, n = payload
                 segs.append(np.unpackbits(arr)[:n])
@@ -222,6 +235,18 @@ class BitReader:
         out = (chunk >> tail) & mask
         self._pos += total
         return out
+
+    def read_bit_array(self, nbits: int) -> np.ndarray:
+        """Read ``nbits`` bits as a 0/1 uint8 array."""
+        pos = self._pos
+        if pos + nbits > self._nbits:
+            raise EOFError("bitstream exhausted")
+        self._pos = pos + nbits
+        b0 = pos >> 3
+        b1 = (pos + nbits + 7) >> 3
+        bits = np.unpackbits(self._data[b0:b1])
+        off = pos - (b0 << 3)
+        return bits[off:off + nbits]
 
     def read_bytes(self, nbytes: int) -> np.ndarray:
         """Bulk read of nbytes; works at any bit alignment."""

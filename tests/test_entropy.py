@@ -1,0 +1,164 @@
+"""Entropy codec round-trip tests — mirrors the reference's parameterized
+random + skewed data sweeps (T/test/TestEntropyCodec.java:203-353)."""
+
+import numpy as np
+import pytest
+
+from kanzi_tpu.core.bits import BitReader, BitWriter
+from kanzi_tpu.entropy import utils as eu
+from kanzi_tpu.entropy.expgolomb import ExpGolombDecoder, ExpGolombEncoder, _build_tables
+
+
+def _roundtrip(make_enc, make_dec, data: np.ndarray) -> None:
+    bw = BitWriter()
+    enc = make_enc(bw)
+    enc.encode(data)
+    enc.dispose()
+    payload = bw.getvalue()
+    br = BitReader(payload)
+    dec = make_dec(br)
+    out = dec.decode(data.size)
+    dec.dispose()
+    np.testing.assert_array_equal(out, data, err_msg=f"size={data.size}")
+
+
+def _datasets(rng):
+    sets = []
+    sets.append(("empty", np.zeros(0, dtype=np.uint8)))
+    sets.append(("tiny", rng.integers(0, 256, 17, dtype=np.uint8)))
+    sets.append(("small33", rng.integers(0, 256, 33, dtype=np.uint8)))
+    sets.append(("random", rng.integers(0, 256, 65536, dtype=np.uint8)))
+    sets.append(("skewed", np.clip(rng.normal(64, 8, 65536), 0, 255).astype(np.uint8)))
+    sets.append(("constant", np.full(50000, 42, dtype=np.uint8)))
+    sets.append(("binary-ish", rng.integers(0, 4, 65536, dtype=np.uint8)))
+    sets.append(("text-like", rng.choice(
+        np.frombuffer(b"etaoin shrdlu\n", dtype=np.uint8), 100000)))
+    # crosses chunk boundary with leftover bytes
+    sets.append(("unaligned", rng.integers(0, 256, 16384 + 7, dtype=np.uint8)))
+    sets.append(("two-sym", rng.choice(np.array([7, 200], dtype=np.uint8), 40000)))
+    return sets
+
+
+# --- EntropyUtils ----------------------------------------------------------
+
+def test_alphabet_roundtrip(rng):
+    for count in [0, 1, 2, 17, 100, 255, 256]:
+        alpha = np.sort(rng.choice(256, count, replace=False)).astype(np.int64)
+        bw = BitWriter()
+        eu.encode_alphabet(bw, alpha)
+        br = BitReader(bw.getvalue())
+        out = eu.decode_alphabet(br)
+        np.testing.assert_array_equal(out, alpha)
+
+
+def test_normalize_frequencies(rng):
+    for scale in [256, 4096, 65536]:
+        f = rng.integers(0, 10000, 256).astype(np.int64)
+        f[rng.integers(0, 256, 100)] = 0
+        total = int(f.sum())
+        alpha = eu.normalize_frequencies(f, total, scale)
+        assert int(f[alpha].sum()) == scale
+        assert np.all(f[alpha] >= 1)
+
+
+def test_varint_roundtrip():
+    vals = [0, 1, 127, 128, 300, 65535, 1 << 20, (1 << 32) - 1]
+    bw = BitWriter()
+    for v in vals:
+        eu.write_varint(bw, v)
+    br = BitReader(bw.getvalue())
+    for v in vals:
+        assert eu.read_varint(br) == v
+
+
+# --- ExpGolomb -------------------------------------------------------------
+
+def test_expgolomb_tables_match_reference_spots():
+    vals, cnts = _build_tables(False)
+    def packed(i): return (int(cnts[i]) << 9) | int(vals[i])
+    assert packed(0) == 513
+    assert packed(1) == 1538
+    assert packed(127) == 7808
+    assert packed(128) == 7809
+    vals, cnts = _build_tables(True)
+    def packed_s(i): return (int(cnts[i]) << 9) | int(vals[i])
+    assert packed_s(1) == 2052
+    assert packed_s(127) == 8448
+    assert packed_s(128) == 8451
+    assert packed_s(255) == 2053
+
+
+@pytest.mark.parametrize("signed", [True, False])
+def test_expgolomb_roundtrip(rng, signed):
+    # unsigned quirk: bytes > 128 don't round-trip in the reference either —
+    # restrict to the faithful domain
+    hi = 256 if signed else 129
+    data = rng.integers(0, hi, 4096, dtype=np.uint8)
+    bw = BitWriter()
+    ExpGolombEncoder(bw, signed).encode(data)
+    br = BitReader(bw.getvalue())
+    out = ExpGolombDecoder(br, signed).decode(data.size)
+    np.testing.assert_array_equal(out, data)
+
+
+# --- Huffman ---------------------------------------------------------------
+
+def test_huffman_roundtrip(rng):
+    from kanzi_tpu.entropy.huffman import HuffmanDecoder, HuffmanEncoder
+    for name, data in _datasets(rng):
+        _roundtrip(lambda bw: HuffmanEncoder(bw),
+                   lambda br: HuffmanDecoder(br), data)
+
+
+def test_huffman_compresses_skewed(rng):
+    from kanzi_tpu.entropy.huffman import HuffmanEncoder
+    data = np.clip(rng.normal(64, 4, 65536), 0, 255).astype(np.uint8)
+    bw = BitWriter()
+    HuffmanEncoder(bw).encode(data)
+    assert len(bw.getvalue()) < data.size * 0.6
+
+
+def test_huffman_random_sizes(rng):
+    from kanzi_tpu.entropy.huffman import HuffmanDecoder, HuffmanEncoder
+    for _ in range(20):
+        n = int(rng.integers(0, 3000))
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        _roundtrip(lambda bw: HuffmanEncoder(bw),
+                   lambda br: HuffmanDecoder(br), data)
+
+
+# --- ANS -------------------------------------------------------------------
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_ans_roundtrip(rng, order):
+    from kanzi_tpu.entropy.ans import ANSRangeDecoder, ANSRangeEncoder
+    for name, data in _datasets(rng):
+        _roundtrip(lambda bw: ANSRangeEncoder(bw, order),
+                   lambda br: ANSRangeDecoder(br, order), data)
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_ans_random_sizes(rng, order):
+    from kanzi_tpu.entropy.ans import ANSRangeDecoder, ANSRangeEncoder
+    for _ in range(10):
+        n = int(rng.integers(0, 5000))
+        data = rng.integers(0, 64, n, dtype=np.uint8)
+        _roundtrip(lambda bw: ANSRangeEncoder(bw, order),
+                   lambda br: ANSRangeDecoder(br, order), data)
+
+
+def test_ans_compresses_skewed(rng):
+    from kanzi_tpu.entropy.ans import ANSRangeEncoder
+    data = np.clip(rng.normal(64, 4, 65536), 0, 255).astype(np.uint8)
+    bw = BitWriter()
+    ANSRangeEncoder(bw, 0).encode(data)
+    assert len(bw.getvalue()) < data.size * 0.6
+
+
+# --- Null ------------------------------------------------------------------
+
+def test_null_codec(rng):
+    from kanzi_tpu.entropy.null_codec import NullEntropyDecoder, NullEntropyEncoder
+    data = rng.integers(0, 256, 10000, dtype=np.uint8)
+    _roundtrip(lambda bw: NullEntropyEncoder(bw),
+               lambda br: NullEntropyDecoder(br), data)
