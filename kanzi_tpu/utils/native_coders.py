@@ -1,0 +1,124 @@
+"""Bridges from the Python entropy coders to the C++ native kernels.
+
+Each function returns False/None when the native library is unavailable (or
+the coder state is not fresh), in which case the caller falls back to the
+exact (slow) Python loop.  The native kernels produce byte-identical streams
+to the Python spec; the block engine creates a fresh coder per block, so the
+one-shot state assumption holds.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from .native import as_u8p, get_lib
+
+_FORCE_PY = bool(os.environ.get("KANZI_TPU_PURE_PY"))
+# below this size the Python loop is fine and avoids ctypes overhead in tests
+_MIN_NATIVE = 0
+
+
+def _lib():
+    if _FORCE_PY:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kz_cm_encode"):
+        return None
+    return lib
+
+
+def _run_encode(fn_args, block, bw) -> bool:
+    """Shared native-encode driver: call fn, append bytes, mark disposed."""
+    lib = _lib()
+    if lib is None:
+        return False
+    fn, extra_args = fn_args
+    src = np.ascontiguousarray(block)
+    cap = block.size + (block.size >> 2) + 65536
+    dst = np.empty(cap, dtype=np.uint8)
+    n = fn(as_u8p(src), src.size, as_u8p(dst), cap, *extra_args)
+    if n < 0:
+        return False
+    bw.write_bytes(dst[:n])
+    return True
+
+
+def _run_decode(fn, extra_args, count, br):
+    lib = _lib()
+    if lib is None:
+        return None
+    # hand the native decoder the remaining bytes; it reports consumption
+    avail_bits = br.remaining
+    nbytes = avail_bits >> 3
+    pos = br.read_count
+    src = br.read_bytes(nbytes)  # realigned copy
+    br.seek(pos)
+    src = np.ascontiguousarray(src)
+    dst = np.empty(max(count, 1), dtype=np.uint8)
+    consumed = ctypes.c_int64(0)
+    n = fn(as_u8p(src), nbytes, as_u8p(dst), count, ctypes.byref(consumed), *extra_args)
+    if n < 0:
+        from ..core.errors import BitStreamError
+        raise BitStreamError("native binary decode failed",
+                             BitStreamError.INVALID_STREAM)
+    br.seek(pos + int(consumed.value) * 8)
+    return dst[:count]
+
+
+# --- FPAQ -------------------------------------------------------------------
+
+def fpaq_encode_native(enc, block, bw) -> bool:
+    lib = _lib()
+    if lib is None or block.size < _MIN_NATIVE:
+        return False
+    if _run_encode((lib.kz_fpaq_encode, ()), block, bw):
+        enc._disposed = True
+        return True
+    return False
+
+
+def fpaq_decode_native(dec, count, br):
+    lib = _lib()
+    if lib is None or count < _MIN_NATIVE:
+        return None
+    return _run_decode(lib.kz_fpaq_decode, (), count, br)
+
+
+# --- CM / TPAQ (hooked via predictor attributes) ----------------------------
+
+def cm_encode_native(enc, block, bw) -> bool:
+    lib = _lib()
+    if lib is None or block.size < _MIN_NATIVE:
+        return False
+    if _run_encode((lib.kz_cm_encode, ()), block, bw):
+        enc._disposed = True
+        return True
+    return False
+
+
+def cm_decode_native(dec, count, br):
+    lib = _lib()
+    if lib is None or count < _MIN_NATIVE:
+        return None
+    return _run_decode(lib.kz_cm_decode, (), count, br)
+
+
+def tpaq_encode_native(enc, block, bw, extra: bool, block_size: int, size: int) -> bool:
+    lib = _lib()
+    if lib is None or block.size < _MIN_NATIVE:
+        return False
+    if _run_encode((lib.kz_tpaq_encode, (1 if extra else 0, block_size, size)), block, bw):
+        enc._disposed = True
+        return True
+    return False
+
+
+def tpaq_decode_native(dec, count, br, extra: bool, block_size: int, size: int):
+    lib = _lib()
+    if lib is None or count < _MIN_NATIVE:
+        return None
+    return _run_decode(lib.kz_tpaq_decode, (1 if extra else 0, block_size, size),
+                       count, br)

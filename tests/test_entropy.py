@@ -162,3 +162,88 @@ def test_null_codec(rng):
     data = rng.integers(0, 256, 10000, dtype=np.uint8)
     _roundtrip(lambda bw: NullEntropyEncoder(bw),
                lambda br: NullEntropyDecoder(br), data)
+
+
+# --- Range -------------------------------------------------------------
+
+def test_range_roundtrip(rng):
+    from kanzi_tpu.entropy.range_codec import RangeDecoder, RangeEncoder
+    for name, data in _datasets(rng):
+        if data.size > 40000:
+            data = data[:40000]  # python loop; keep tests quick
+        _roundtrip(lambda bw: RangeEncoder(bw),
+                   lambda br: RangeDecoder(br), data)
+
+
+# --- binary coders (FPAQ / CM / TPAQ / TPAQX) -------------------------------
+
+def _bin_datasets(rng):
+    return [
+        rng.integers(0, 256, 0, dtype=np.uint8),
+        rng.integers(0, 256, 333, dtype=np.uint8),
+        rng.choice(np.frombuffer(b"compression test data! ", dtype=np.uint8), 20000),
+        np.full(5000, 0xAB, dtype=np.uint8),
+    ]
+
+
+def test_fpaq_roundtrip(rng):
+    from kanzi_tpu.entropy.fpaq import FPAQDecoder, FPAQEncoder
+    for data in _bin_datasets(rng):
+        _roundtrip(lambda bw: FPAQEncoder(bw), lambda br: FPAQDecoder(br), data)
+
+
+def test_cm_roundtrip(rng):
+    from kanzi_tpu.entropy.binary import BinaryEntropyDecoder, BinaryEntropyEncoder
+    from kanzi_tpu.models.cm import CMPredictor
+    for data in _bin_datasets(rng):
+        _roundtrip(lambda bw: BinaryEntropyEncoder(bw, CMPredictor({})),
+                   lambda br: BinaryEntropyDecoder(br, CMPredictor({})), data)
+
+
+@pytest.mark.parametrize("codec", ["TPAQ", "TPAQX"])
+def test_tpaq_roundtrip(rng, codec):
+    from kanzi_tpu.entropy.binary import BinaryEntropyDecoder, BinaryEntropyEncoder
+    from kanzi_tpu.models.tpaq import TPAQPredictor
+    for data in _bin_datasets(rng):
+        ctx = {"blockSize": 65536, "size": int(data.size), "entropy": codec}
+        _roundtrip(lambda bw: BinaryEntropyEncoder(bw, TPAQPredictor(dict(ctx))),
+                   lambda br: BinaryEntropyDecoder(br, TPAQPredictor(dict(ctx))), data)
+
+
+def test_native_matches_python_cm(rng, monkeypatch):
+    """The C++ kernel and the Python spec must emit identical bytes."""
+    from kanzi_tpu.core.bits import BitWriter
+    from kanzi_tpu.entropy.binary import BinaryEntropyEncoder
+    from kanzi_tpu.models.cm import CMPredictor
+    data = rng.choice(np.frombuffer(b"abcabcdabcde ", dtype=np.uint8), 8000)
+
+    bw1 = BitWriter()
+    e1 = BinaryEntropyEncoder(bw1, CMPredictor({}))
+    e1.encode(data)
+    e1.dispose()
+
+    import kanzi_tpu.utils.native_coders as nc
+    monkeypatch.setattr(nc, "_FORCE_PY", True)
+    bw2 = BitWriter()
+    e2 = BinaryEntropyEncoder(bw2, CMPredictor({}))
+    e2.encode(data)
+    e2.dispose()
+    assert bw1.getvalue() == bw2.getvalue()
+
+
+def test_factory_all_codecs(rng):
+    from kanzi_tpu.core.bits import BitReader, BitWriter
+    from kanzi_tpu.entropy import factory
+    data = rng.choice(np.frombuffer(b"factory test payload 0123", dtype=np.uint8), 10000)
+    for name in ["NONE", "HUFFMAN", "FPAQ", "RANGE", "ANS0", "CM", "TPAQ", "ANS1", "TPAQX"]:
+        t = factory.get_type(name)
+        assert factory.get_name(t) == name
+        ctx = {"blockSize": 65536, "size": int(data.size), "entropy": name, "bsVersion": 7}
+        bw = BitWriter()
+        enc = factory.new_encoder(bw, ctx, t)
+        enc.encode(data)
+        enc.dispose()
+        br = BitReader(bw.getvalue())
+        dec = factory.new_decoder(br, ctx, t)
+        out = dec.decode(data.size)
+        np.testing.assert_array_equal(out, data, err_msg=name)
