@@ -1,0 +1,136 @@
+"""Bridges from Python transforms to the C++ native kernels (None = fallback)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from .native import as_u8p, get_lib
+
+_FORCE_PY = bool(os.environ.get("KANZI_TPU_PURE_PY"))
+_SIGS_DONE = False
+
+
+def _lib():
+    if _FORCE_PY:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kz_sbrt_forward"):
+        return None
+    global _SIGS_DONE
+    if not _SIGS_DONE:
+        c = ctypes
+        u8p = c.POINTER(c.c_uint8)
+        lib.kz_sbrt_forward.restype = None
+        lib.kz_sbrt_forward.argtypes = [u8p, u8p, c.c_int64, c.c_int32]
+        lib.kz_sbrt_inverse.restype = None
+        lib.kz_sbrt_inverse.argtypes = [u8p, u8p, c.c_int64, c.c_int32]
+        lib.kz_srt_forward.restype = c.c_int64
+        lib.kz_srt_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
+        lib.kz_srt_inverse.restype = c.c_int64
+        lib.kz_srt_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
+        lib.kz_lzx_forward.restype = c.c_int64
+        lib.kz_lzx_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int32, c.c_int32]
+        lib.kz_lzx_inverse.restype = c.c_int64
+        lib.kz_lzx_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
+        lib.kz_lzp_forward.restype = c.c_int64
+        lib.kz_lzp_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
+        lib.kz_lzp_inverse.restype = c.c_int64
+        lib.kz_lzp_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
+        _SIGS_DONE = True
+    return lib
+
+
+def _padded(src: np.ndarray, pad: int = 16) -> np.ndarray:
+    out = np.zeros(src.size + pad, dtype=np.uint8)
+    out[:src.size] = src
+    return out
+
+
+def lzx_forward_native(src: np.ndarray, extra: bool, min_match: int):
+    lib = _lib()
+    if lib is None:
+        return None
+    s = _padded(np.ascontiguousarray(src))
+    cap = src.size + (src.size >> 6) + 1024
+    dst = np.empty(cap + 32, dtype=np.uint8)
+    n = lib.kz_lzx_forward(as_u8p(s), src.size, as_u8p(dst), 1 if extra else 0, min_match)
+    if n < 0:
+        return np.zeros(0, dtype=np.uint8)  # no gain -> skip
+    return dst[:n].copy()
+
+
+def lzx_inverse_native(src: np.ndarray, count: int):
+    lib = _lib()
+    if lib is None:
+        return None
+    s = _padded(np.ascontiguousarray(src))
+    dst = np.empty(count + 32, dtype=np.uint8)
+    n = lib.kz_lzx_inverse(as_u8p(s), src.size, as_u8p(dst), count)
+    if n < 0:
+        raise ValueError("LZX inverse failed")
+    return dst[:n].copy()
+
+
+def lzp_forward_native(src: np.ndarray):
+    lib = _lib()
+    if lib is None:
+        return None
+    s = _padded(np.ascontiguousarray(src))
+    cap = src.size + (src.size >> 6) + 1024
+    dst = np.empty(cap + 32, dtype=np.uint8)
+    n = lib.kz_lzp_forward(as_u8p(s), src.size, as_u8p(dst), cap)
+    if n < 0:
+        return np.zeros(0, dtype=np.uint8)
+    return dst[:n].copy()
+
+
+def lzp_inverse_native(src: np.ndarray, count: int):
+    lib = _lib()
+    if lib is None:
+        return None
+    s = _padded(np.ascontiguousarray(src))
+    dst = np.empty(count + 32, dtype=np.uint8)
+    n = lib.kz_lzp_inverse(as_u8p(s), src.size, as_u8p(dst), count)
+    if n < 0:
+        raise ValueError("LZP inverse failed")
+    return dst[:n].copy()
+
+
+def sbrt_native(mode: int, src: np.ndarray, forward: bool):
+    lib = _lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src)
+    dst = np.empty(src.size, dtype=np.uint8)
+    fn = lib.kz_sbrt_forward if forward else lib.kz_sbrt_inverse
+    fn(as_u8p(src), as_u8p(dst), src.size, mode)
+    return dst
+
+
+def srt_forward_native(src: np.ndarray):
+    lib = _lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src)
+    cap = src.size + 1024
+    dst = np.empty(cap, dtype=np.uint8)
+    n = lib.kz_srt_forward(as_u8p(src), src.size, as_u8p(dst), cap)
+    if n < 0:
+        return None
+    return dst[:n]
+
+
+def srt_inverse_native(src: np.ndarray):
+    lib = _lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src)
+    cap = src.size
+    dst = np.empty(max(cap, 1), dtype=np.uint8)
+    n = lib.kz_srt_inverse(as_u8p(src), src.size, as_u8p(dst), cap)
+    if n < 0:
+        raise ValueError("SRT inverse failed")
+    return dst[:n]

@@ -1,0 +1,200 @@
+// Native kernels for the serial byte transforms (SBRT, SRT).
+// Semantics re-derived from K/transform/SBRT.java:34-226 and SRT.java:29-367;
+// the Python classes in kanzi_tpu/transforms are the executable spec.
+
+#include <cstdint>
+#include <cstring>
+
+#if defined(_MSC_VER)
+#define EXPORT extern "C" __declspec(dllexport)
+#else
+#define EXPORT extern "C" __attribute__((visibility("default")))
+#endif
+
+typedef uint8_t u8;
+typedef int32_t i32;
+typedef int64_t i64;
+
+// ---------------- SBRT ----------------
+
+EXPORT void kz_sbrt_forward(const u8* src, u8* dst, i64 count, i32 mode) {
+    const i32 m1 = (mode == 3) ? 0 : -1;
+    const i32 m2 = (mode == 1) ? 0 : -1;
+    const i32 s = (mode == 2) ? 1 : 0;
+    i32 p[256], q[256], s2r[256], r2s[256];
+    for (i32 i = 0; i < 256; i++) { p[i] = 0; q[i] = 0; s2r[i] = i; r2s[i] = i; }
+    for (i64 i = 0; i < count; i++) {
+        const i32 c = src[i];
+        i32 r = s2r[c];
+        dst[i] = (u8)r;
+        const i32 qc = (((i32)i & m1) + (p[c] & m2)) >> s;
+        p[c] = (i32)i;
+        q[c] = qc;
+        while ((r > 0) && (q[r2s[r - 1]] <= qc)) {
+            r2s[r] = r2s[r - 1];
+            s2r[r2s[r]] = r;
+            r--;
+        }
+        r2s[r] = c;
+        s2r[c] = r;
+    }
+}
+
+EXPORT void kz_sbrt_inverse(const u8* src, u8* dst, i64 count, i32 mode) {
+    const i32 m1 = (mode == 3) ? 0 : -1;
+    const i32 m2 = (mode == 1) ? 0 : -1;
+    const i32 s = (mode == 2) ? 1 : 0;
+    i32 p[256], q[256], r2s[256];
+    for (i32 i = 0; i < 256; i++) { p[i] = 0; q[i] = 0; r2s[i] = i; }
+    for (i64 i = 0; i < count; i++) {
+        i32 r = src[i];
+        const i32 c = r2s[r];
+        dst[i] = (u8)c;
+        const i32 qc = (((i32)i & m1) + (p[c] & m2)) >> s;
+        p[c] = (i32)i;
+        q[c] = qc;
+        while ((r > 0) && (q[r2s[r - 1]] <= qc)) {
+            r2s[r] = r2s[r - 1];
+            r--;
+        }
+        r2s[r] = c;
+    }
+}
+
+// ---------------- SRT ----------------
+
+static i32 srt_sort_symbols(const i32* freqs, u8* symbols) {
+    i32 nb = 0;
+    for (i32 i = 0; i < 256; i++)
+        if (freqs[i] > 0) symbols[nb++] = (u8)i;
+    // sort by (freq desc, value asc) — shellsort like the reference
+    i32 h = 4;
+    while (h < nb) h = h * 3 + 1;
+    while (true) {
+        h /= 3;
+        for (i32 i = h; i < nb; i++) {
+            const i32 t = symbols[i];
+            i32 b = i - h;
+            while ((b >= 0) && ((freqs[symbols[b]] < freqs[t]) ||
+                                ((freqs[t] == freqs[symbols[b]]) && (t < symbols[b])))) {
+                symbols[b + h] = symbols[b];
+                b -= h;
+            }
+            symbols[b + h] = (u8)t;
+        }
+        if (h == 1) break;
+    }
+    return nb;
+}
+
+// Returns total output length (header + count), or -1 on error.
+EXPORT i64 kz_srt_forward(const u8* src, i64 count, u8* dst, i64 cap) {
+    i32 freqs[256], r2s[256], s2r[256], buckets[256];
+    std::memset(freqs, 0, sizeof(freqs));
+    i32 b = 0;
+    for (i64 i = 0; i < count; i++) {
+        const i32 c = src[i];
+        if (freqs[c] == 0) { r2s[b] = c; s2r[c] = b; b++; }
+        freqs[c]++;
+    }
+    u8 symbols[256];
+    const i32 nb = srt_sort_symbols(freqs, symbols);
+    i32 bucketPos = 0;
+    for (i32 i = 0; i < nb; i++) {
+        const i32 c = symbols[i];
+        buckets[c] = bucketPos;
+        bucketPos += freqs[c];
+    }
+    // header
+    i64 hdr = 0;
+    for (i32 i = 0; i < 256; i++) {
+        i32 f = freqs[i];
+        while (f >= 128) {
+            if (hdr >= cap) return -1;
+            dst[hdr++] = (u8)(0x80 | f);
+            f >>= 7;
+        }
+        if (hdr >= cap) return -1;
+        dst[hdr++] = (u8)f;
+    }
+    if (hdr + count > cap) return -1;
+    u8* body = dst + hdr;
+    for (i64 i = 0; i < count;) {
+        const i32 c = src[i];
+        i32 r = s2r[c];
+        i32 p = buckets[c];
+        body[p] = (u8)r;
+        p++;
+        if (r != 0) {
+            do {
+                r2s[r] = r2s[r - 1];
+                s2r[r2s[r]] = r;
+                r--;
+            } while (r != 0);
+            r2s[0] = c;
+            s2r[c] = 0;
+        }
+        i++;
+        while ((i < count) && (src[i] == c)) {
+            body[p] = 0;
+            p++;
+            i++;
+        }
+        buckets[c] = p;
+    }
+    return hdr + count;
+}
+
+// Returns decoded length, or -1 on error.
+EXPORT i64 kz_srt_inverse(const u8* src, i64 srcLen, u8* dst, i64 cap) {
+    i32 freqs[256];
+    i64 idx = 0;
+    for (i32 i = 0; i < 256; i++) {
+        if (idx >= srcLen) return -1;
+        i32 val = src[idx++];
+        i32 res = val & 0x7F;
+        i32 shift = 7;
+        while (val >= 128) {
+            if (idx >= srcLen) return -1;
+            val = src[idx++];
+            res |= ((val & 0x7F) << shift);
+            if (shift > 21) break;
+            shift += 7;
+        }
+        freqs[i] = res;
+    }
+    const i64 count = srcLen - idx;
+    if (count > cap) return -1;
+    const u8* body = src + idx;
+    u8 symbols[256];
+    i32 nb = srt_sort_symbols(freqs, symbols);
+    i32 buckets[256], bucketEnds[256], r2s[256];
+    i32 bucketPos = 0;
+    for (i32 i = 0; i < nb; i++) {
+        const i32 c = symbols[i];
+        if (bucketPos < 0 || bucketPos >= count) return -1;
+        r2s[body[bucketPos]] = c;
+        buckets[c] = bucketPos + 1;
+        bucketPos += freqs[c];
+        bucketEnds[c] = bucketPos;
+    }
+    if (nb == 0) return count == 0 ? 0 : -1;
+    i32 c = r2s[0];
+    for (i64 i = 0; i < count; i++) {
+        dst[i] = (u8)c;
+        if (buckets[c] < bucketEnds[c]) {
+            const i32 r = body[buckets[c]];
+            buckets[c]++;
+            if (r == 0) continue;
+            for (i32 s = 0; s < r; s++) r2s[s] = r2s[s + 1];
+            r2s[r] = c;
+            c = r2s[0];
+        } else {
+            if (nb == 1) continue;
+            nb--;
+            for (i32 s = 0; s < nb; s++) r2s[s] = r2s[s + 1];
+            c = r2s[0];
+        }
+    }
+    return count;
+}

@@ -1,0 +1,139 @@
+"""Transform round-trip tests — mirrors the reference's parameterized sweeps
+(T/test/TestTransforms.java:172-420)."""
+
+import numpy as np
+import pytest
+
+from kanzi_tpu.core.types import TransformSkip
+
+
+def _rt(t, data, **kw):
+    """Round-trip helper; returns encoded size or None if stage skipped."""
+    try:
+        enc = t.forward(data)
+    except TransformSkip:
+        return None
+    out = t.inverse(enc, count=data.size)
+    np.testing.assert_array_equal(out, data)
+    return enc.size
+
+
+def _text(rng, n):
+    return rng.choice(np.frombuffer(
+        b"the quick brown fox jumps over the lazy dog \n", dtype=np.uint8), n)
+
+
+def _runs(rng, n):
+    vals = rng.integers(0, 256, max(n // 8, 1)).astype(np.uint8)
+    reps = rng.integers(1, 20, vals.size)
+    return np.repeat(vals, reps)[:n]
+
+
+# --- ZRLT / RLT -------------------------------------------------------------
+
+def test_zrlt_roundtrip(rng):
+    from kanzi_tpu.transforms.zrlt import ZRLT
+    for _ in range(30):
+        n = int(rng.integers(1, 8000))
+        p = rng.random()
+        data = np.where(rng.random(n) < p, 0,
+                        rng.integers(0, 256, n)).astype(np.uint8)
+        _rt(ZRLT(), data)
+
+
+def test_zrlt_edge_values(rng):
+    from kanzi_tpu.transforms.zrlt import ZRLT
+    data = np.array([0] * 40 + [0xFE, 0xFF, 0, 1, 2, 0xFE] + [0] * 30, dtype=np.uint8)
+    data = np.tile(data, 100)
+    assert _rt(ZRLT(), data) is not None
+    assert _rt(ZRLT(), np.zeros(100000, dtype=np.uint8)) is not None
+
+
+def test_rlt_roundtrip(rng):
+    from kanzi_tpu.transforms.rlt import RLT
+    for _ in range(30):
+        n = int(rng.integers(16, 8000))
+        _rt(RLT({}), _runs(rng, n))
+
+
+def test_rlt_escape_data(rng):
+    from kanzi_tpu.transforms.rlt import RLT
+    data = np.full(2000, 0xFB, dtype=np.uint8)
+    data[::17] = 1
+    data[1::17] = 2  # avoid being all-run
+    _rt(RLT(), data)
+
+
+# --- SBRT / SRT -------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", [1, 2, 3])
+def test_sbrt_roundtrip(rng, mode):
+    from kanzi_tpu.transforms.sbrt import SBRT
+    for n in [0, 1, 100, 10000]:
+        _rt(SBRT(mode), _text(rng, n))
+
+
+def test_sbrt_native_matches_python(rng, monkeypatch):
+    from kanzi_tpu.transforms.sbrt import SBRT
+    import kanzi_tpu.utils.native_transforms as nt
+    data = _text(rng, 3000)
+    a = SBRT(2).forward(data)
+    monkeypatch.setattr(nt, "_FORCE_PY", True)
+    b = SBRT(2).forward(data)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_srt_roundtrip(rng):
+    from kanzi_tpu.transforms.srt import SRT
+    for n in [1, 2, 100, 5000, 30000]:
+        _rt(SRT(), _text(rng, n))
+        _rt(SRT(), _runs(rng, n))
+
+
+# --- FSD --------------------------------------------------------------------
+
+def test_fsd_delta(rng):
+    from kanzi_tpu.transforms.fsd import FSDCodec
+    sig = (128 + 60 * np.sin(np.arange(50000) / 25)).astype(np.uint8)
+    assert _rt(FSDCodec({}), sig) is not None
+
+
+def test_fsd_skips_text(rng):
+    from kanzi_tpu.transforms.fsd import FSDCodec
+    assert _rt(FSDCodec({}), _text(rng, 50000)) is None
+
+
+# --- LZ / LZX / LZP ----------------------------------------------------------
+
+@pytest.mark.parametrize("extra", [False, True])
+def test_lzx_roundtrip(rng, extra):
+    from kanzi_tpu.transforms.lz import LZXCodec
+    words = [b"the quick brown fox ", b"jumps over ", b"lazy dog! "]
+    for _ in range(10):
+        data = np.frombuffer(
+            b"".join([words[i] for i in rng.choice(3, 2000)]), dtype=np.uint8)
+        n = int(rng.integers(30, data.size))
+        assert _rt(LZXCodec(extra=extra), data[:n].copy()) is not None
+
+
+def test_lzx_skips_random(rng):
+    from kanzi_tpu.transforms.lz import LZXCodec
+    assert _rt(LZXCodec(), rng.integers(0, 256, 50000, dtype=np.uint8)) is None
+
+
+def test_lzx_python_decoder_agrees(rng):
+    from kanzi_tpu.transforms.lz import LZXCodec, _lzx_inverse_py
+    words = [b"abcdefgh", b"12345678", b"abcd1234"]
+    data = np.frombuffer(b"".join([words[i] for i in rng.choice(3, 5000)]), dtype=np.uint8)
+    enc = LZXCodec().forward(data)
+    np.testing.assert_array_equal(_lzx_inverse_py(enc, data.size), data)
+
+
+def test_lzp_roundtrip(rng):
+    from kanzi_tpu.transforms.lz import LZPCodec, _lzp_inverse_py
+    passage = bytes(rng.integers(32, 127, 400, dtype=np.uint8))
+    data = np.frombuffer(passage * 100 + b"xyz", dtype=np.uint8)
+    enc = LZPCodec().forward(data)
+    out = LZPCodec().inverse(enc, count=data.size)
+    np.testing.assert_array_equal(out, data)
+    np.testing.assert_array_equal(_lzp_inverse_py(enc), data)
