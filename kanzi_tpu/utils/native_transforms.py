@@ -39,8 +39,55 @@ def _lib():
         lib.kz_lzp_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
         lib.kz_lzp_inverse.restype = c.c_int64
         lib.kz_lzp_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
+        i32p = c.POINTER(c.c_int32)
+        lib.kz_suffix_array.restype = None
+        lib.kz_suffix_array.argtypes = [u8p, i32p, c.c_int64]
+        lib.kz_bwt_forward.restype = c.c_int64
+        lib.kz_bwt_forward.argtypes = [u8p, u8p, c.c_int64, i32p, c.c_int32]
+        lib.kz_bwt_inverse.restype = c.c_int32
+        lib.kz_bwt_inverse.argtypes = [u8p, u8p, c.c_int64, i32p, c.c_int32]
         _SIGS_DONE = True
     return lib
+
+
+def _i32p(arr):
+    import ctypes
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def suffix_array_native(src: np.ndarray):
+    lib = _lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(src)
+    sa = np.empty(src.size, dtype=np.int32)
+    lib.kz_suffix_array(as_u8p(s), _i32p(sa), src.size)
+    return sa
+
+
+def bwt_forward_native(src: np.ndarray, chunks: int):
+    lib = _lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(src)
+    dst = np.empty(src.size, dtype=np.uint8)
+    indexes = np.zeros(8, dtype=np.int32)
+    lib.kz_bwt_forward(as_u8p(s), as_u8p(dst), src.size, _i32p(indexes), chunks)
+    return dst, indexes[:chunks]
+
+
+def bwt_inverse_native(src: np.ndarray, primary_indexes, chunks: int):
+    lib = _lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(src)
+    dst = np.empty(src.size, dtype=np.uint8)
+    indexes = np.zeros(8, dtype=np.int32)
+    indexes[:len(primary_indexes)] = primary_indexes
+    ok = lib.kz_bwt_inverse(as_u8p(s), as_u8p(dst), src.size, _i32p(indexes), chunks)
+    if not ok:
+        raise ValueError("BWT inverse failed")
+    return dst
 
 
 def _padded(src: np.ndarray, pad: int = 16) -> np.ndarray:

@@ -1,0 +1,253 @@
+// BWT kernels: linear-time SA-IS suffix array construction, forward BWT with
+// multi-chunk primary indexes, and the merged TPSI inverse with 8 parallel
+// LF-walk chains.
+//
+// Interface semantics re-derived from K/transform/BWT.java:57-686 and
+// DivSufSort.java:204-329 (any correct suffix array produces the identical
+// BWT since the SA is unique):
+//   forward: out[0] = src[n-1]; L-column skips the primary row;
+//            indexes[k] = rank(suffix at k*step) + 1, step = ceil-ish(n/8)
+//   inverse: counting sort into packed (next_index<<8 | byte) entries,
+//            then 1 or 8 interleaved pointer chases (BWT.java:245-374).
+// The SA-IS implementation follows Nong/Zhang/Chan's induced-sorting
+// algorithm (standard formulation, written fresh).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#if defined(_MSC_VER)
+#define EXPORT extern "C" __declspec(dllexport)
+#else
+#define EXPORT extern "C" __attribute__((visibility("default")))
+#endif
+
+typedef uint8_t u8;
+typedef int32_t i32;
+typedef uint32_t u32;
+typedef int64_t i64;
+typedef uint64_t u64;
+
+namespace {
+
+// Generic SA-IS over an integer alphabet.  s has length n, values in [0,K).
+// SA receives the suffix order.  Memory: O(n + K).
+template <typename T>
+void sais_core(const T* s, i32* SA, i32 n, i32 K) {
+    if (n == 0) return;
+    if (n == 1) { SA[0] = 0; return; }
+
+    std::vector<bool> isS(n);
+    isS[n - 1] = true;  // by convention the last suffix (no sentinel: we treat
+                        // index n-1 relative ordering via type from successor)
+    for (i32 i = n - 2; i >= 0; i--)
+        isS[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && isS[i + 1]);
+
+    auto isLMS = [&](i32 i) { return i > 0 && isS[i] && !isS[i - 1]; };
+
+    std::vector<i32> bkt(K + 1);
+    auto bucketEnds = [&]() {
+        std::fill(bkt.begin(), bkt.end(), 0);
+        for (i32 i = 0; i < n; i++) bkt[s[i] + 1]++;
+        for (i32 i = 0; i < K; i++) bkt[i + 1] += bkt[i];
+    };
+
+    std::vector<i32> bktHead(K + 1), bktTail(K + 1);
+    auto computeBounds = [&]() {
+        bucketEnds();
+        for (i32 i = 0; i <= K; i++) bktHead[i] = bkt[i];
+        for (i32 i = 0; i <= K; i++) bktTail[i] = (i < K) ? bkt[i + 1] : n;
+    };
+
+    auto induce = [&](const std::vector<i32>& lms) {
+        computeBounds();
+        std::fill(SA, SA + n, -1);
+        // place LMS suffixes at bucket tails (in given order, from the back)
+        std::vector<i32> tail(bktTail);
+        for (i32 i = (i32)lms.size() - 1; i >= 0; i--) {
+            const i32 p = lms[i];
+            SA[--tail[s[p]]] = p;
+        }
+        // induce L
+        std::vector<i32> head(bktHead);
+        // virtual sentinel: suffix n-1's predecessor is induced by treating
+        // position n-1 first if it is L-type relative to the sentinel: the
+        // suffix starting at n-1 is the smallest ending suffix; we emulate the
+        // sentinel by seeding s[n-1] manually.
+        if (n > 0) {
+            const i32 p = n - 1;
+            if (!isS[p]) SA[head[s[p]]++] = p;
+        }
+        for (i32 i = 0; i < n; i++) {
+            const i32 j = SA[i] - 1;
+            if (SA[i] > 0 && !isS[j]) SA[head[s[j]]++] = j;
+        }
+        // induce S
+        std::vector<i32> tail2(bktTail);
+        for (i32 i = n - 1; i >= 0; i--) {
+            const i32 j = SA[i] - 1;
+            if (SA[i] > 0 && isS[j]) SA[--tail2[s[j]]] = j;
+        }
+    };
+
+    // collect LMS positions in text order
+    std::vector<i32> lmsPos;
+    for (i32 i = 1; i < n; i++)
+        if (isLMS(i)) lmsPos.push_back(i);
+
+    // First induction with unsorted LMS order gives LMS-substring order.
+    induce(lmsPos);
+
+    // Extract sorted LMS and name LMS substrings
+    const i32 nLms = (i32)lmsPos.size();
+    std::vector<i32> sortedLms;
+    sortedLms.reserve(nLms);
+    for (i32 i = 0; i < n; i++)
+        if (SA[i] > 0 && isLMS(SA[i])) sortedLms.push_back(SA[i]);
+
+    if (nLms > 0) {
+        // name LMS substrings
+        std::vector<i32> name(n, -1);
+        i32 counter = 0;
+        i32 prev = -1;
+        for (i32 idx = 0; idx < (i32)sortedLms.size(); idx++) {
+            const i32 cur = sortedLms[idx];
+            if (prev == -1) {
+                name[cur] = counter;
+            } else {
+                // compare LMS substrings at prev & cur
+                bool diff = false;
+                for (i32 d = 0;; d++) {
+                    const i32 a = prev + d, b = cur + d;
+                    if (a >= n || b >= n) { diff = (a >= n) != (b >= n); break; }
+                    if (s[a] != s[b] || isS[a] != isS[b]) { diff = true; break; }
+                    if (d > 0 && (isLMS(a) || isLMS(b))) { diff = !(isLMS(a) && isLMS(b)); break; }
+                }
+                if (diff) counter++;
+                name[cur] = counter;
+            }
+            prev = cur;
+        }
+        if (counter + 1 < nLms) {
+            // recurse on reduced string
+            std::vector<i32> s1(nLms);
+            for (i32 i = 0, k = 0; i < n; i++)
+                if (name[i] >= 0) s1[k++] = name[i];
+            std::vector<i32> SA1(nLms);
+            sais_core<i32>(s1.data(), SA1.data(), nLms, counter + 1);
+            std::vector<i32> ordered(nLms);
+            for (i32 i = 0; i < nLms; i++) ordered[i] = lmsPos[SA1[i]];
+            induce(ordered);
+        } else {
+            induce(sortedLms);
+        }
+    } else {
+        induce(lmsPos);
+    }
+}
+
+}  // namespace
+
+EXPORT void kz_suffix_array(const u8* src, i32* sa, i64 n) {
+    // SA-IS needs a unique smallest sentinel for correctness of suffix
+    // (not substring) order; append one by shifting the alphabet.
+    std::vector<i32> s(n + 1);
+    for (i64 i = 0; i < n; i++) s[i] = (i32)src[i] + 1;
+    s[n] = 0;
+    std::vector<i32> SA(n + 1);
+    sais_core<i32>(s.data(), SA.data(), (i32)(n + 1), 257);
+    // drop the sentinel suffix (rank 0)
+    for (i64 i = 0; i < n; i++) sa[i] = SA[i + 1];
+}
+
+// Forward BWT. dst has length n; indexes receives idxCount primary indexes.
+EXPORT i64 kz_bwt_forward(const u8* src, u8* dst, i64 n, i32* indexes, i32 idxCount) {
+    if (n == 0) return 0;
+    if (n == 1) { dst[0] = src[0]; indexes[0] = 1; return 1; }
+    std::vector<i32> sa(n);
+    kz_suffix_array(src, sa.data(), n);
+    const i64 st = n / idxCount;
+    const i64 step = (st * idxCount != n) ? st + 1 : st;
+    i64 pIdx = -1;
+    for (i64 j = 0; j < n; j++) {
+        const i32 s = sa[j];
+        if (s % step == 0) indexes[s / step] = (i32)(j + 1);
+        if (s == 0) pIdx = j;
+    }
+    dst[0] = src[n - 1];
+    for (i64 j = 0; j < pIdx; j++)
+        dst[1 + j] = src[sa[j] - 1];
+    for (i64 j = pIdx + 1; j < n; j++)
+        dst[j] = src[sa[j] - 1];
+    indexes[0] = (i32)(pIdx + 1);
+    return pIdx + 1;
+}
+
+// Inverse BWT (mergeTPSI; u32 packing for small blocks, u64 above 2^24).
+// chunks must match BWT.getBWTChunks(n) (1 if n < 256 else 8).
+template <typename PK>
+static bool bwt_inverse_impl(const u8* src, u8* dst, i64 n, const i32* indexes, i32 chunks) {
+    const i64 pIdx = indexes[0];
+    if (pIdx <= 0 || pIdx > n) return false;
+    std::vector<PK> data(n);
+    i64 b[256] = {0};
+    for (i64 i = 0; i < n; i++) b[src[i]]++;
+    i64 sum = 0;
+    for (i32 i = 0; i < 256; i++) { const i64 t = b[i]; b[i] = sum; sum += t; }
+    const i32 val0 = src[0];
+    data[b[val0]] = (PK)((PK)0xFF << 8) | (PK)val0;
+    b[val0]++;
+    for (i64 i = 1; i < pIdx; i++) {
+        const i32 val = src[i];
+        data[b[val]] = ((PK)(i - 1) << 8) | (PK)val;
+        b[val]++;
+    }
+    for (i64 i = pIdx; i < n; i++) {
+        const i32 val = src[i];
+        data[b[val]] = ((PK)i << 8) | (PK)val;
+        b[val]++;
+    }
+    if (chunks != 8) {
+        i64 t = pIdx - 1;
+        for (i64 i = 0; i < n; i++) {
+            const PK ptr = data[t];
+            dst[i] = (u8)ptr;
+            t = (i64)(ptr >> 8);
+        }
+    } else {
+        const i64 ckSize = ((n & 7) == 0) ? n >> 3 : (n >> 3) + 1;
+        i64 t[8];
+        for (i32 k = 0; k < 8; k++) {
+            t[k] = (i64)indexes[k] - 1;
+            if (t[k] < 0 || t[k] >= n) return false;
+        }
+        const i64 end = n - ckSize * 7;
+        i64 m = 0;
+        for (; m < end; m++) {
+            for (i32 k = 0; k < 8; k++) {
+                const PK ptr = data[t[k]];
+                dst[m + ckSize * k] = (u8)ptr;
+                t[k] = (i64)(ptr >> 8);
+            }
+        }
+        for (; m < ckSize; m++) {
+            for (i32 k = 0; k < 7; k++) {
+                const PK ptr = data[t[k]];
+                dst[m + ckSize * k] = (u8)ptr;
+                t[k] = (i64)(ptr >> 8);
+            }
+        }
+    }
+    return true;
+}
+
+EXPORT i32 kz_bwt_inverse(const u8* src, u8* dst, i64 n, const i32* indexes, i32 chunks) {
+    if (n == 0) return 1;
+    if (n == 1) { dst[0] = src[0]; return 1; }
+    bool ok;
+    if (n < (1 << 24))
+        ok = bwt_inverse_impl<u32>(src, dst, n, indexes, chunks);
+    else
+        ok = bwt_inverse_impl<u64>(src, dst, n, indexes, chunks);
+    return ok ? 1 : 0;
+}

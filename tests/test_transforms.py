@@ -137,3 +137,36 @@ def test_lzp_roundtrip(rng):
     out = LZPCodec().inverse(enc, count=data.size)
     np.testing.assert_array_equal(out, data)
     np.testing.assert_array_equal(_lzp_inverse_py(enc), data)
+
+
+# --- BWT ----------------------------------------------------------------
+
+def test_suffix_array_matches_bruteforce(rng):
+    from kanzi_tpu.transforms.bwt import suffix_array, _suffix_array_doubling
+    for _ in range(15):
+        n = int(rng.integers(1, 200))
+        data = rng.integers(0, 5, n, dtype=np.uint8)
+        b = data.tobytes()
+        expect = sorted(range(n), key=lambda i: b[i:])
+        assert suffix_array(data).tolist() == expect
+        assert _suffix_array_doubling(data).tolist() == expect
+
+
+def test_bwt_block_codec_roundtrip(rng):
+    from kanzi_tpu.transforms.bwt import BWTBlockCodec
+    for n in [1, 2, 255, 256, 257, 5000, 100000]:
+        data = rng.choice(np.frombuffer(b"banana bandana! ", dtype=np.uint8), n)
+        enc = BWTBlockCodec({}).forward(data)
+        out = BWTBlockCodec({}).inverse(enc, count=n)
+        np.testing.assert_array_equal(out, data)
+
+
+def test_bwt_invalid_primary_index(rng):
+    from kanzi_tpu.transforms.bwt import BWT
+    data = rng.integers(0, 256, 1000, dtype=np.uint8)
+    bwt = BWT()
+    enc = bwt.forward(data)
+    bad = BWT()
+    bad.primary_indexes = [0] * 8  # invalid (must be >= 1)
+    with pytest.raises(Exception):
+        bad.inverse(enc)
