@@ -154,7 +154,10 @@ def test_suffix_array_matches_bruteforce(rng):
 
 def test_bwt_block_codec_roundtrip(rng):
     from kanzi_tpu.transforms.bwt import BWTBlockCodec
-    for n in [1, 2, 255, 256, 257, 5000, 100000]:
+    # n=1 skips (pIndexSize==0), matching the reference
+    with pytest.raises(TransformSkip):
+        BWTBlockCodec({}).forward(np.array([7], dtype=np.uint8))
+    for n in [2, 255, 256, 257, 5000, 100000]:
         data = rng.choice(np.frombuffer(b"banana bandana! ", dtype=np.uint8), n)
         enc = BWTBlockCodec({}).forward(data)
         out = BWTBlockCodec({}).inverse(enc, count=n)
