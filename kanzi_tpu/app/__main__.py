@@ -1,0 +1,135 @@
+"""kanzi_tpu command line — compress/decompress with kanzi-compatible flags.
+
+Re-derived from K/app/Kanzi.java:36-1026, BlockCompressor.java:62-903,
+BlockDecompressor.java:62-792 (flags, level presets, default block sizes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from ..core.errors import Error, KanziError
+from .block_compressor import LEVELS, BlockCompressor
+from .block_decompressor import BlockDecompressor
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="kanzi_tpu",
+        description="kanzi_tpu — TPU-native block compressor (kanzi bitstream v7)")
+    p.add_argument("-c", "--compress", action="store_true")
+    p.add_argument("-d", "--decompress", action="store_true")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("-b", "--block", default=None, help="block size (e.g. 4m, 1024k, auto)")
+    p.add_argument("-t", "--transform", default=None, help="transform chain, e.g. BWT+RANK+ZRLT")
+    p.add_argument("-e", "--entropy", default=None, help="entropy codec, e.g. ANS0")
+    p.add_argument("-l", "--level", type=int, default=None, choices=range(10))
+    p.add_argument("-j", "--jobs", type=int, default=0, help="0 = all cores (max 64)")
+    p.add_argument("-v", "--verbose", type=int, default=1)
+    p.add_argument("-x", "--checksum", nargs="?", const="32", default="0",
+                   help="block checksum size (32 or 64)")
+    p.add_argument("-f", "--force", action="store_true", help="overwrite output")
+    p.add_argument("-s", "--skip", action="store_true", help="skip incompressible blocks")
+    p.add_argument("--from", dest="from_block", type=int, default=0)
+    p.add_argument("--to", dest="to_block", type=int, default=0)
+    p.add_argument("--rm", action="store_true", help="remove input after success")
+    args = p.parse_args(argv)
+
+    if args.compress == args.decompress:
+        print("Exactly one of -c / -d is required", file=sys.stderr)
+        return Error.ERR_MISSING_PARAM
+    try:
+        if args.compress:
+            return _compress(args)
+        return _decompress(args)
+    except KanziError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return e.code
+    except OSError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return Error.ERR_OPEN_FILE
+
+
+def _parse_block_size(s: str, file_size: int, jobs: int) -> int:
+    s = s.strip().lower()
+    if s == "auto":
+        if file_size <= 0:
+            return 4 * 1024 * 1024
+        bsz = (file_size + jobs - 1) // jobs
+        return max(1024, (bsz + 63) & ~63)
+    mult = 1
+    if s[-1] in "kmg":
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
+def _out_path(args, suffix: str, strip: str) -> str:
+    if args.output:
+        return args.output
+    if args.decompress and args.input.endswith(strip):
+        return args.input[:-len(strip)]
+    return args.input + suffix
+
+
+def _compress(args) -> int:
+    jobs = args.jobs if args.jobs > 0 else min(os.cpu_count() or 1, 64)
+    level = args.level
+    if level is None and args.transform is None and args.entropy is None:
+        level = 3
+    if level is not None:
+        transform, entropy, default_block = LEVELS[level]
+        if args.transform is not None or args.entropy is not None:
+            print("Warning: -l overrides -t/-e", file=sys.stderr)
+    else:
+        transform = args.transform or "NONE"
+        entropy = args.entropy or "NONE"
+        default_block = 4 * 1024 * 1024
+    file_size = os.path.getsize(args.input) if os.path.isfile(args.input) else 0
+    block = _parse_block_size(args.block, file_size, jobs) if args.block else default_block
+    out = _out_path(args, ".knz", "")
+    if os.path.exists(out) and not args.force:
+        print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
+        return Error.ERR_OVERWRITE_FILE
+    bc = BlockCompressor(transform=transform, entropy=entropy, block_size=block,
+                         jobs=jobs, checksum=int(args.checksum or 0),
+                         skip_blocks=args.skip, verbosity=args.verbose)
+    t0 = time.time()
+    read, written = bc.compress_file(args.input, out)
+    dt = time.time() - t0
+    if args.verbose > 0:
+        ratio = written / read if read else 0
+        print(f"Compressed {args.input}: {read} -> {written} bytes "
+              f"(ratio {ratio:.4f}) in {dt*1000:.0f} ms "
+              f"[{read/max(dt,1e-9)/1e6:.1f} MB/s] "
+              f"t={transform} e={entropy} b={block} j={jobs}")
+    if args.rm:
+        os.remove(args.input)
+    return 0
+
+
+def _decompress(args) -> int:
+    jobs = args.jobs if args.jobs > 0 else min(os.cpu_count() or 1, 64)
+    out = _out_path(args, ".out", ".knz")
+    if os.path.exists(out) and not args.force:
+        print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
+        return Error.ERR_OVERWRITE_FILE
+    bd = BlockDecompressor(jobs=jobs, verbosity=args.verbose,
+                           from_block=args.from_block, to_block=args.to_block)
+    t0 = time.time()
+    read, written = bd.decompress_file(args.input, out)
+    dt = time.time() - t0
+    if args.verbose > 0:
+        print(f"Decompressed {args.input}: {read} -> {written} bytes in "
+              f"{dt*1000:.0f} ms [{written/max(dt,1e-9)/1e6:.1f} MB/s]")
+    if args.rm:
+        os.remove(args.input)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

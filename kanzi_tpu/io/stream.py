@@ -1,0 +1,574 @@
+"""Block stream engine: kanzi bitstream format v7 writer/reader.
+
+Re-derived from K/io/CompressedOutputStream.java:74-1154 and
+CompressedInputStream.java:67-1438.
+
+Stream header (unless headerless):
+  "KANZ" u32 | version 4b | checksum-type 2b | entropy 5b | transform 48b |
+  blockSize>>4 28b | szMask 2b [+ 16*szMask bits inputSize] | 15b pad |
+  24b mix32 header checksum
+
+Per block (outer framing): 5 bits (lw-3), lw bits of payload bit-length,
+then the payload bits.  End of stream = zero-length block (lw=3, len=0).
+
+Block payload:
+  mode byte: 0x80 copy | (dataSize-1)<<5 | 0x10 separate-skip-flags |
+             low nibble = skipFlags>>4 (when <= 4 transforms)
+  [skipFlags byte when mode&0x10]
+  postTransformLength (dataSize bytes)
+  8-bit header checksum (mode, headerSkipFlags, length, bit-length)
+  [32/64-bit XXHash of the raw block when enabled]
+  entropy-coded payload (or raw transformed bytes for transformed-copy)
+
+Blocks are independent; encode/decode fan out over a thread pool (the C++
+kernels release the GIL) and results are committed in block order — the
+Python equivalent of the reference's lock-free processedBlockId spin-wait.
+The distributed path (parallel/) shards whole blocks over a device mesh with
+the same ordered-commit contract.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from dataclasses import dataclass, field
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from ..core import magic
+from ..core.bits import BitReader, BitWriter
+from ..core.errors import Error, IOError_
+from ..core.events import Event, EventType, HeaderInfo, notify
+from ..core.globals import (DataType, first_order_entropy_1024, histogram_order0, log2)
+from ..core.types import TransformSkip
+from ..entropy import factory as entropy_factory
+from ..entropy import utils as eu
+from ..transforms import factory as transform_factory
+from ..utils.xxhash import xxhash32, xxhash64
+
+BITSTREAM_TYPE = 0x4B414E5A  # "KANZ"
+BITSTREAM_FORMAT_VERSION = 7
+COPY_BLOCK_MASK = 0x80
+TRANSFORMS_MASK = 0x10
+MIN_BITSTREAM_BLOCK_SIZE = 1024
+MAX_BITSTREAM_BLOCK_SIZE = 1024 * 1024 * 1024
+SMALL_BLOCK_SIZE = 15
+MAX_CONCURRENCY = 64
+_HASH = 0x1E35A7BD
+_M32 = 0xFFFFFFFF
+
+
+def _mix32(checksum: int, value: int) -> int:
+    checksum ^= (_HASH * (~value & _M32)) & _M32
+    checksum &= _M32
+    checksum = ((checksum << 13) | (checksum >> 19)) & _M32
+    return (checksum * 5 + 0x52DCE729) & _M32
+
+
+def _header_checksum(chk_size: int, entropy_type: int, transform_type: int,
+                     block_size: int, input_size: int, sz_mask: int) -> int:
+    cksum = (_HASH * (0x01030507 * BITSTREAM_FORMAT_VERSION & _M32)) & _M32
+    cksum = _mix32(cksum, chk_size)
+    cksum = _mix32(cksum, entropy_type)
+    cksum = _mix32(cksum, (transform_type >> 32) & _M32)
+    cksum = _mix32(cksum, transform_type & _M32)
+    cksum = _mix32(cksum, block_size)
+    if sz_mask > 0:
+        cksum = _mix32(cksum, (input_size >> 32) & _M32)
+        cksum = _mix32(cksum, input_size & _M32)
+    return ((cksum >> 23) ^ (cksum >> 3)) & 0xFFFFFF
+
+
+def _block_header_checksum(mode: int, header_skip_flags: int,
+                           post_len: int, written: int) -> int:
+    cksum = (_HASH * 0x01030507) & _M32
+    cksum = _mix32(cksum, mode & 0xFF)
+    cksum = _mix32(cksum, header_skip_flags & 0xFF)
+    cksum = _mix32(cksum, post_len & _M32)
+    cksum = _mix32(cksum, (written >> 32) & _M32)
+    cksum = _mix32(cksum, written & _M32)
+    return ((cksum >> 23) ^ (cksum >> 3)) & 0xFF
+
+
+# ---------------------------------------------------------------------------
+# block encode / decode (pure functions run on worker threads)
+# ---------------------------------------------------------------------------
+
+def encode_block(block: np.ndarray, transform_type: int, entropy_type: int,
+                 ctx: dict, listeners=(), block_id: int = 0) -> np.ndarray:
+    """Encode one block; returns its payload bit array (uint8 0/1)."""
+    block_length = block.size
+    checksum = 0
+    chk = ctx.get("checksum", 0)
+    if chk == 32:
+        checksum = xxhash32(block.tobytes(), BITSTREAM_TYPE)
+    elif chk == 64:
+        checksum = xxhash64(block.tobytes(), BITSTREAM_TYPE)
+    notify(listeners, Event(EventType.BEFORE_TRANSFORM, block_id, block_length,
+                            checksum if chk else None))
+    mode = 0
+    if block_length <= SMALL_BLOCK_SIZE:
+        transform_type = transform_factory.NONE_TYPE
+        entropy_type = entropy_factory.NONE_TYPE
+        mode |= COPY_BLOCK_MASK
+    elif ctx.get("skipBlocks", False):
+        skip = magic.is_compressed(magic.get_type(block[:4].tobytes()))
+        if not skip:
+            histo = histogram_order0(block)
+            skip = first_order_entropy_1024(block_length, histo) >= eu.INCOMPRESSIBLE_THRESHOLD
+        if skip:
+            transform_type = transform_factory.NONE_TYPE
+            entropy_type = entropy_factory.NONE_TYPE
+            mode |= COPY_BLOCK_MASK
+
+    ctx = dict(ctx)
+    ctx["size"] = block_length
+    if block_length >= 4:
+        m = magic.get_type(block[:4].tobytes())
+        if magic.is_compressed(m):
+            ctx["dataType"] = DataType.BIN
+        elif magic.is_multimedia(m):
+            ctx["dataType"] = DataType.MULTIMEDIA
+        elif magic.is_executable(m):
+            ctx["dataType"] = DataType.EXE
+
+    seq = transform_factory.new_function(ctx, transform_type)
+    try:
+        buf = seq.forward(block)
+    except TransformSkip:
+        buf = block
+    skip_flags = seq.skip_flags
+    nb_functions = len(seq.transforms)
+    post_len = buf.size
+    ctx["size"] = post_len
+    data_size = 1 if post_len < 256 else (log2(post_len) >> 3) + 1
+    if data_size > 4:
+        raise IOError_("invalid block data length", Error.ERR_WRITE_FILE)
+    mode |= ((data_size - 1) & 0x03) << 5
+    notify(listeners, Event(EventType.AFTER_TRANSFORM, block_id, post_len,
+                            checksum if chk else None))
+
+    # entropy encode into its own writer to learn the payload bit count
+    notify(listeners, Event(EventType.BEFORE_ENTROPY, block_id, post_len,
+                            checksum if chk else None))
+    ebw = BitWriter()
+    ee = entropy_factory.new_encoder(ebw, ctx, entropy_type)
+    ee.encode(buf)
+    ee.dispose()
+    payload_bits = ebw.written
+
+    def assemble(mode_b: int, with_skip_byte: bool, payload_writer) -> np.ndarray:
+        hdr_bits = 8 + (8 if with_skip_byte else 0) + 8 * data_size + 8
+        cs_bits = 32 if chk == 32 else (64 if chk == 64 else 0)
+        total = hdr_bits + cs_bits + payload_writer.written
+        if with_skip_byte:
+            hsf = skip_flags
+        elif mode_b & COPY_BLOCK_MASK:
+            hsf = 0 if not (mode_b & TRANSFORMS_MASK) else ((mode_b << 4) | 0x0F) & 0xFF
+        else:
+            hsf = ((mode_b << 4) | 0x0F) & 0xFF
+        if (mode_b & COPY_BLOCK_MASK) and not (mode_b & TRANSFORMS_MASK):
+            hsf = 0
+        hcs = _block_header_checksum(mode_b, hsf, post_len, total)
+        bw = BitWriter()
+        bw.write_bits(mode_b, 8)
+        if with_skip_byte:
+            bw.write_bits(skip_flags, 8)
+        bw.write_bits(post_len, 8 * data_size)
+        bw.write_bits(hcs, 8)
+        if chk == 32:
+            bw.write_bits(checksum, 32)
+        elif chk == 64:
+            bw.write_bits(checksum, 64)
+        bw.write_bit_array(payload_writer.getvalue_bits())
+        return bw.getvalue_bits()
+
+    use_skip_byte = not (mode & COPY_BLOCK_MASK) and nb_functions > 4
+    if use_skip_byte:
+        mode |= TRANSFORMS_MASK
+    else:
+        mode |= (skip_flags >> 4) & 0x0F
+
+    if not (mode & COPY_BLOCK_MASK):
+        raw_payload_bytes = post_len
+        entropy_payload_bytes = (payload_bits + 7) >> 3
+        if raw_payload_bytes < entropy_payload_bytes:
+            # transformed copy: raw transformed bytes beat the entropy stage
+            copy_mode = mode | COPY_BLOCK_MASK | TRANSFORMS_MASK
+            cbw = BitWriter()
+            cbw.write_bytes(buf.tobytes())
+            bits = assemble(copy_mode, nb_functions > 4, cbw)
+            notify(listeners, Event(EventType.AFTER_ENTROPY, block_id,
+                                    (bits.size + 7) >> 3, checksum if chk else None))
+            return bits
+
+    bits = assemble(mode, use_skip_byte, ebw)
+    notify(listeners, Event(EventType.AFTER_ENTROPY, block_id,
+                            (bits.size + 7) >> 3, checksum if chk else None))
+    return bits
+
+
+def decode_block(payload: np.ndarray, nbits: int, transform_type: int,
+                 entropy_type: int, block_size: int, ctx: dict,
+                 listeners=(), block_id: int = 0) -> np.ndarray:
+    """Decode one block payload (byte array + bit length) to raw data."""
+    br = BitReader(payload, nbits=nbits)
+    mode = br.read_bits(8)
+    chk = ctx.get("checksum", 0)
+    skip_flags = 0
+    has_skip_flags = False
+    transformed_copy = False
+    copy_block = bool(mode & COPY_BLOCK_MASK)
+    if copy_block:
+        if mode & TRANSFORMS_MASK:
+            transformed_copy = True
+            nb_functions = len(transform_factory.new_function(dict(ctx), transform_type).transforms)
+            if nb_functions > 4:
+                has_skip_flags = True
+            else:
+                skip_flags = ((mode << 4) | 0x0F) & 0xFF
+    elif mode & TRANSFORMS_MASK:
+        has_skip_flags = True
+    else:
+        skip_flags = ((mode << 4) | 0x0F) & 0xFF
+    if has_skip_flags:
+        skip_flags = br.read_bits(8)
+    data_size = 1 + ((mode >> 5) & 0x03)
+    pre_len = br.read_bits(8 * data_size)
+    header_checksum = br.read_bits(8)
+    hsf = skip_flags if has_skip_flags else (
+        0 if (copy_block and not transformed_copy) else ((mode << 4) | 0x0F) & 0xFF)
+    expect = _block_header_checksum(mode, hsf, pre_len, nbits)
+    if header_checksum != expect:
+        raise IOError_("block header checksum mismatch", Error.ERR_CRC_CHECK)
+    if pre_len == 0:
+        return np.zeros(0, dtype=np.uint8)
+    max_transform_length = min(max(block_size + block_size // 2, 2048),
+                               MAX_BITSTREAM_BLOCK_SIZE)
+    if pre_len > max_transform_length:
+        raise IOError_(f"invalid compressed block length {pre_len}", Error.ERR_READ_FILE)
+
+    checksum1 = 0
+    if chk == 32:
+        checksum1 = br.read_bits(32)
+    elif chk == 64:
+        checksum1 = br.read_bits(64)
+
+    ctx = dict(ctx)
+    ctx["size"] = pre_len
+    notify(listeners, Event(EventType.BEFORE_ENTROPY, block_id, (nbits + 7) >> 3,
+                            checksum1 if chk else None))
+    if copy_block and not transformed_copy:
+        transform_type = transform_factory.NONE_TYPE
+        entropy_type = entropy_factory.NONE_TYPE
+    if transformed_copy:
+        buf = br.read_bytes(pre_len)
+    else:
+        ed = entropy_factory.new_decoder(br, ctx, entropy_type)
+        buf = ed.decode(pre_len)
+        ed.dispose()
+    notify(listeners, Event(EventType.AFTER_ENTROPY, block_id, pre_len,
+                            checksum1 if chk else None))
+    notify(listeners, Event(EventType.BEFORE_TRANSFORM, block_id, pre_len,
+                            checksum1 if chk else None))
+
+    seq = transform_factory.new_function(ctx, transform_type)
+    seq.skip_flags = skip_flags
+    data = seq.inverse(buf)
+    notify(listeners, Event(EventType.AFTER_TRANSFORM, block_id, data.size,
+                            checksum1 if chk else None))
+
+    if chk == 32 and xxhash32(data.tobytes(), BITSTREAM_TYPE) != checksum1:
+        raise IOError_("corrupted bitstream: block checksum mismatch", Error.ERR_CRC_CHECK)
+    if chk == 64 and xxhash64(data.tobytes(), BITSTREAM_TYPE) != checksum1:
+        raise IOError_("corrupted bitstream: block checksum mismatch", Error.ERR_CRC_CHECK)
+    return data
+
+
+# ---------------------------------------------------------------------------
+# streams
+# ---------------------------------------------------------------------------
+
+class CompressedOutputStream:
+    """java.io-style compressed stream writer (library embed API)."""
+
+    def __init__(self, os_: BinaryIO, ctx: dict) -> None:
+        entropy_codec = str(ctx.get("entropy", "NONE"))
+        transform = str(ctx.get("transform", "NONE"))
+        tasks = int(ctx.get("jobs", 1))
+        if not 0 < tasks <= MAX_CONCURRENCY:
+            raise ValueError(f"jobs must be in [1..{MAX_CONCURRENCY}]")
+        b_size = int(ctx.get("blockSize", 4 * 1024 * 1024))
+        if b_size > MAX_BITSTREAM_BLOCK_SIZE or b_size < MIN_BITSTREAM_BLOCK_SIZE:
+            raise ValueError("invalid block size")
+        if b_size & 15:
+            raise ValueError("block size must be a multiple of 16")
+        self.os = os_
+        self.entropy_type = entropy_factory.get_type(entropy_codec)
+        self.transform_type = transform_factory.get_type(transform)
+        self.block_size = b_size
+        self.input_size = int(ctx.get("fileSize", 0))
+        self.checksum = int(ctx.get("checksum", 0))
+        self.jobs = tasks
+        self.headless = bool(ctx.get("headerless", False))
+        self.ctx = dict(ctx)
+        self.ctx["bsVersion"] = BITSTREAM_FORMAT_VERSION
+        self.ctx["checksum"] = self.checksum
+        self.listeners: list = []
+        self._pending = bytearray()
+        self._header_written = False
+        self._closed = False
+        self._block_id = 0
+        self._pool = cf.ThreadPoolExecutor(max_workers=tasks) if tasks > 1 else None
+        self._written_bits = 0
+
+    def add_listener(self, lst) -> bool:
+        self.listeners.append(lst)
+        return True
+
+    def remove_listener(self, lst) -> bool:
+        try:
+            self.listeners.remove(lst)
+            return True
+        except ValueError:
+            return False
+
+    @property
+    def written(self) -> int:
+        """Bytes written so far (approximate until close)."""
+        return (self._written_bits + 7) >> 3
+
+    def _write_header(self) -> None:
+        if self.headless or self._header_written:
+            return
+        self._header_written = True
+        bw = BitWriter()
+        bw.write_bits(BITSTREAM_TYPE, 32)
+        bw.write_bits(BITSTREAM_FORMAT_VERSION, 4)
+        chk_size = 1 if self.checksum == 32 else (2 if self.checksum == 64 else 0)
+        bw.write_bits(chk_size, 2)
+        bw.write_bits(self.entropy_type, 5)
+        bw.write_bits(self.transform_type, 48)
+        bw.write_bits(self.block_size >> 4, 28)
+        sz_mask = 0
+        if self.input_size != 0 and self.input_size < (1 << 48):
+            if self.input_size >= (1 << 32):
+                sz_mask = 3
+            else:
+                isz = self.input_size
+                if isz > (1 << 30):
+                    isz >>= 4
+                    sz_mask += 1
+                sz_mask += (log2(isz) >> 4) + 1
+        bw.write_bits(sz_mask, 2)
+        if sz_mask > 0:
+            bw.write_bits(self.input_size, 16 * sz_mask)
+        bw.write_bits(0, 15)
+        cksum = _header_checksum(chk_size, self.entropy_type, self.transform_type,
+                                 self.block_size, self.input_size, sz_mask)
+        bw.write_bits(cksum, 24)
+        self._bits_out(bw.getvalue_bits())
+
+    def _bits_out(self, bits: np.ndarray) -> None:
+        self._bit_buffer = getattr(self, "_bit_buffer", [])
+        self._bit_buffer.append(bits)
+        self._written_bits += bits.size
+
+    def _flush_bits(self, final: bool) -> None:
+        buf = getattr(self, "_bit_buffer", [])
+        if not buf:
+            return
+        bits = np.concatenate(buf)
+        if final:
+            self.os.write(np.packbits(bits).tobytes())
+            self._bit_buffer = []
+        else:
+            whole = bits.size & ~7
+            self.os.write(np.packbits(bits[:whole]).tobytes())
+            self._bit_buffer = [bits[whole:]] if whole < bits.size else []
+
+    def write(self, data) -> int:
+        if self._closed:
+            raise IOError_("stream closed", Error.ERR_WRITE_FILE)
+        self._pending += bytes(data)
+        while len(self._pending) >= self.jobs * self.block_size:
+            self._process(self.jobs)
+        return len(data)
+
+    def _process(self, nblocks: int) -> None:
+        self._write_header()
+        chunks = []
+        for _ in range(nblocks):
+            if not self._pending:
+                break
+            chunk = self._pending[:self.block_size]
+            del self._pending[:self.block_size]
+            chunks.append(np.frombuffer(bytes(chunk), dtype=np.uint8))
+        if not chunks:
+            return
+
+        def job(args):
+            i, blk = args
+            ctx = dict(self.ctx)
+            ctx["jobs"] = 1
+            return encode_block(blk, self.transform_type, self.entropy_type,
+                                ctx, self.listeners, self._block_id + i + 1)
+
+        if self._pool is not None and len(chunks) > 1:
+            results = list(self._pool.map(job, enumerate(chunks)))
+        else:
+            results = [job(x) for x in enumerate(chunks)]
+        self._block_id += len(chunks)
+        for bits in results:
+            written = bits.size
+            lw = 3 if written < 8 else log2(written >> 3) + 4
+            fb = BitWriter()
+            fb.write_bits(lw - 3, 5)
+            fb.write_bits(written, lw)
+            self._bits_out(fb.getvalue_bits())
+            self._bits_out(bits)
+        self._flush_bits(False)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._write_header()
+        while self._pending:
+            self._process(self.jobs)
+        self._closed = True
+        eb = BitWriter()
+        eb.write_bits(0, 5)
+        eb.write_bits(0, 3)
+        self._bits_out(eb.getvalue_bits())
+        self._flush_bits(True)
+        if self._pool is not None:
+            self._pool.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class CompressedInputStream:
+    """java.io-style compressed stream reader."""
+
+    def __init__(self, is_: BinaryIO, ctx: dict) -> None:
+        self.ctx = dict(ctx or {})
+        self.jobs = int(self.ctx.get("jobs", 1))
+        self.listeners: list = []
+        self.headless = bool(self.ctx.get("headerless", False))
+        data = is_.read()
+        self._br = BitReader(data)
+        self._out = bytearray()
+        self._pos = 0
+        self._eos = False
+        self.checksum = 0
+        self._pool = cf.ThreadPoolExecutor(max_workers=self.jobs) if self.jobs > 1 else None
+        if self.headless:
+            self.bs_version = int(self.ctx.get("bsVersion", BITSTREAM_FORMAT_VERSION))
+            self.entropy_type = entropy_factory.get_type(self.ctx.get("entropy", "NONE"))
+            self.transform_type = transform_factory.get_type(self.ctx.get("transform", "NONE"))
+            self.block_size = int(self.ctx.get("blockSize", 4 * 1024 * 1024))
+            self.checksum = int(self.ctx.get("checksum", 0))
+            self.output_size = int(self.ctx.get("outputSize", 0))
+        else:
+            self._read_header()
+        self.ctx["bsVersion"] = self.bs_version
+        self.ctx["checksum"] = self.checksum
+        self.ctx["blockSize"] = self.block_size
+
+    def add_listener(self, lst) -> bool:
+        self.listeners.append(lst)
+        return True
+
+    def _read_header(self) -> None:
+        br = self._br
+        if br.read_bits(32) != BITSTREAM_TYPE:
+            raise IOError_("invalid stream type", Error.ERR_INVALID_FILE)
+        self.bs_version = br.read_bits(4)
+        if self.bs_version != BITSTREAM_FORMAT_VERSION:
+            raise IOError_(f"unsupported bitstream version {self.bs_version}",
+                           Error.ERR_STREAM_VERSION)
+        chk_size = br.read_bits(2)
+        self.checksum = {0: 0, 1: 32, 2: 64}.get(chk_size, 0)
+        self.entropy_type = br.read_bits(5)
+        self.transform_type = br.read_bits(48)
+        self.block_size = br.read_bits(28) << 4
+        if not MIN_BITSTREAM_BLOCK_SIZE <= self.block_size <= MAX_BITSTREAM_BLOCK_SIZE:
+            raise IOError_("invalid block size in header", Error.ERR_BLOCK_SIZE)
+        sz_mask = br.read_bits(2)
+        self.output_size = br.read_bits(16 * sz_mask) if sz_mask else 0
+        br.read_bits(15)
+        cksum = br.read_bits(24)
+        expect = _header_checksum(chk_size, self.entropy_type, self.transform_type,
+                                  self.block_size, self.output_size, sz_mask)
+        if cksum != expect:
+            raise IOError_("invalid stream: header checksum mismatch", Error.ERR_CRC_CHECK)
+        notify(self.listeners, Event(
+            EventType.AFTER_HEADER_DECODING, 0, 0,
+            header=HeaderInfo(self.bs_version, self.checksum, self.block_size,
+                              entropy_factory.get_name(self.entropy_type),
+                              transform_factory.get_name(self.transform_type),
+                              self.output_size or -1)))
+
+    def _decode_all(self) -> None:
+        if self._eos:
+            return
+        br = self._br
+        from_blk = int(self.ctx.get("from", 0))
+        to_blk = int(self.ctx.get("to", 1 << 30))
+        payloads = []
+        block_id = 1
+        while True:
+            try:
+                lw = br.read_bits(5) + 3
+                nbits = br.read_bits(lw)
+            except EOFError:
+                raise IOError_("truncated stream: missing end-of-stream block",
+                               Error.ERR_READ_FILE)
+            if nbits == 0:
+                break
+            # payloads are bit-packed: consume exactly nbits, realign to bytes
+            try:
+                payload = np.packbits(br.read_bit_array(nbits))
+            except EOFError:
+                raise IOError_("truncated stream: incomplete block payload",
+                               Error.ERR_READ_FILE)
+            if from_blk <= block_id < to_blk:
+                payloads.append((block_id, payload, nbits))
+            block_id += 1
+        self._eos = True
+
+        def job(args):
+            bid, payload, nb = args
+            ctx = dict(self.ctx)
+            ctx["jobs"] = 1
+            return decode_block(payload, nb, self.transform_type, self.entropy_type,
+                                self.block_size, ctx, self.listeners, bid)
+
+        if self._pool is not None and len(payloads) > 1:
+            results = list(self._pool.map(job, payloads))
+        else:
+            results = [job(p) for p in payloads]
+        for r in results:
+            self._out += r.tobytes()
+
+    def read(self, n: int = -1) -> bytes:
+        self._decode_all()
+        if n < 0:
+            n = len(self._out) - self._pos
+        res = bytes(self._out[self._pos:self._pos + n])
+        self._pos += len(res)
+        return res
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

@@ -54,12 +54,22 @@ class LZXCodec:
         src = np.asarray(src, dtype=np.uint8)
         if src.size == 0:
             return src.copy()
-        if count is None:
-            raise ValueError("LZX inverse needs expected output size")
-        res = nt.lzx_inverse_native(src, count)
-        if res is not None:
-            return res
-        return _lzx_inverse_py(src, count)
+        if count is not None:
+            res = nt.lzx_inverse_native(src, count)
+            if res is not None:
+                return res
+            return _lzx_inverse_py(src, count)
+        # unknown output size (mid-sequence): grow the buffer on demand
+        cap = src.size * 4 + 65536
+        while cap <= (1 << 30):
+            try:
+                res = nt.lzx_inverse_native(src, cap)
+            except ValueError:
+                res = None
+            if res is not None:
+                return res
+            cap *= 4
+        return _lzx_inverse_py(src, 1 << 30)
 
     def dispose(self) -> None:
         pass
@@ -89,9 +99,20 @@ class LZPCodec:
         src = np.asarray(src, dtype=np.uint8)
         if src.size == 0:
             return src.copy()
-        res = nt.lzp_inverse_native(src, count if count is not None else src.size * 8 + 1024)
-        if res is not None:
-            return res
+        if count is not None:
+            res = nt.lzp_inverse_native(src, count)
+            if res is not None:
+                return res
+            return _lzp_inverse_py(src)
+        cap = src.size * 4 + 65536
+        while cap <= (1 << 30):
+            try:
+                res = nt.lzp_inverse_native(src, cap)
+            except ValueError:
+                res = None
+            if res is not None:
+                return res
+            cap *= 4
         return _lzp_inverse_py(src)
 
 
