@@ -53,8 +53,10 @@ def test_corrupted_block_header_rejected(rng):
                                        "blockSize": 16384, "jobs": 1})
     cos.write(data)
     cos.close()
+    # the first block header lives right after the 20-byte stream header and
+    # the ~3-byte framing; its 8-bit checksum must reject any corruption there
     blob = bytearray(buf.getvalue())
-    blob[30] ^= 0xFF  # inside first block header region
+    blob[24] ^= 0xFF
     cis = CompressedInputStream(pyio.BytesIO(bytes(blob)), {"jobs": 1})
     with pytest.raises(Exception):
         cis.read()
