@@ -1,0 +1,133 @@
+"""Host glue for the TPU ANS0 kernel: produces the exact ANSRangeEncoder
+wire bytes (entropy/ans.py) with the symbol scan + payload packing on device.
+
+Division of labor:
+  host:   per-chunk histograms, the reference's exact frequency
+          normalization (wire-identical headers), header/varint assembly,
+          tail (<16 KiB) chunks
+  device: the 4-lane rANS scan over all chunks in lockstep + payload pack
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.bits import BitReader, BitWriter
+from ..entropy import ans as hans
+from ..entropy import utils as eu
+from . import ans as jans
+
+CHUNK = jans.CHUNK
+
+
+def _chunk_stats(chunks: np.ndarray):
+    """(freq[N,256], cum[N,256], alphabet sizes) with exact reference
+    normalization per chunk."""
+    n = chunks.shape[0]
+    # vectorized 2D histogram
+    ids = (np.arange(n, dtype=np.int64)[:, None] * 256 + chunks.astype(np.int64))
+    hist = np.bincount(ids.ravel(), minlength=n * 256).reshape(n, 256)
+    freq = np.empty((n, 256), dtype=np.int64)
+    nsym = np.empty(n, dtype=np.int64)
+    alphabets = []
+    for i in range(n):
+        f = hist[i].copy()
+        alpha = eu.normalize_frequencies(f, CHUNK, 1 << jans.LOG_RANGE)
+        freq[i] = f
+        nsym[i] = len(alpha)
+        alphabets.append(alpha)
+    cum = np.concatenate([np.zeros((n, 1), dtype=np.int64),
+                          np.cumsum(freq, axis=1)[:, :-1]], axis=1)
+    return freq, cum, nsym, alphabets
+
+
+def ans0_encode(block: np.ndarray, bw: BitWriter) -> int:
+    """Drop-in for ANSRangeEncoder(order=0).encode with the scan on TPU."""
+    import jax.numpy as jnp
+    block = np.asarray(block, dtype=np.uint8)
+    count = block.size
+    if count <= 32:
+        bw.write_bytes(block.tobytes())
+        return count
+    nfull = count // CHUNK
+    tail = count - nfull * CHUNK
+    if nfull > 0:
+        chunks = block[:nfull * CHUNK].reshape(nfull, CHUNK)
+        freq, cum, nsym, alphabets = _chunk_stats(chunks)
+        sel = np.flatnonzero(nsym > 1)
+        if sel.size:
+            payload, n_emit, states = jans.ans0_encode_chunks(
+                jnp.asarray(chunks[sel]), jnp.asarray(freq[sel], dtype=jnp.int32),
+                jnp.asarray(cum[sel], dtype=jnp.int32))
+            payload = np.asarray(payload)
+            n_emit = np.asarray(n_emit)
+            states = np.asarray(states)
+        k = 0
+        for i in range(nfull):
+            bw.write_bits(jans.LOG_RANGE - 8, 3)
+            hans._write_freqs_header(bw, alphabets[i], freq[i], jans.LOG_RANGE)
+            if nsym[i] <= 1:
+                continue  # skipped chunk (single symbol)
+            ne = int(n_emit[k])
+            pay = payload[k, :ne].astype(">u2").tobytes()
+            eu.write_varint(bw, len(pay))
+            for j in range(4):
+                bw.write_bits(int(states[k, j]), 32)
+            bw.write_bytes(pay)
+            k += 1
+    if tail:
+        enc = hans.ANSRangeEncoder(bw, 0)
+        enc._encode_chunk(block[nfull * CHUNK:], bw)
+    return count
+
+
+def ans0_decode(count: int, br: BitReader) -> np.ndarray:
+    """Drop-in for ANSRangeDecoder(order=0).decode with the scan on TPU."""
+    import jax.numpy as jnp
+    if count <= 32:
+        return br.read_bytes(count)
+    out = np.empty(count, dtype=np.uint8)
+    nfull = count // CHUNK
+    tail = count - nfull * CHUNK
+    # stage 1 (host, sequential): parse per-chunk headers and slice payloads
+    metas = []  # (start, freq, cum, states, payload_bytes) or (start, symbol)
+    for i in range(nfull):
+        lr = 8 + br.read_bits(3)
+        if lr != jans.LOG_RANGE:
+            raise ValueError("unsupported log range for TPU decode")
+        alpha, freqs = hans._read_freqs_header(br, lr)
+        if len(alpha) <= 1:
+            metas.append((i * CHUNK, int(alpha[0]) if len(alpha) else 0))
+            continue
+        sz = eu.read_varint(br)
+        states = [br.read_bits(32) for _ in range(4)]
+        pay = br.read_bytes(sz)
+        metas.append((i * CHUNK, freqs, states, pay))
+    full = [m for m in metas if len(m) == 4]
+    if full:
+        maxp = max(len(m[3]) for m in full) + 8
+        pay = np.zeros((len(full), maxp), dtype=np.uint8)
+        freq = np.zeros((len(full), 256), dtype=np.int64)
+        states = np.zeros((len(full), 4), dtype=np.int64)
+        for k, m in enumerate(full):
+            pay[k, :len(m[3])] = m[3]
+            freq[k] = m[1]
+            states[k] = m[2]
+        cum = np.concatenate([np.zeros((len(full), 1), dtype=np.int64),
+                              np.cumsum(freq, axis=1)[:, :-1]], axis=1)
+        res, consumed = jans.ans0_decode_chunks(
+            jnp.asarray(pay), jnp.asarray(states, dtype=jnp.int32),
+            jnp.asarray(freq, dtype=jnp.int32), jnp.asarray(cum, dtype=jnp.int32))
+        res = np.asarray(res)
+        consumed = np.asarray(consumed)
+        for k, m in enumerate(full):
+            if int(consumed[k]) != len(m[3]):
+                raise ValueError("ANS payload size mismatch (TPU decode)")
+            out[m[0]:m[0] + CHUNK] = res[k]
+    for m in metas:
+        if len(m) == 2:
+            out[m[0]:m[0] + CHUNK] = m[1]
+    if tail:
+        dec = hans.ANSRangeDecoder(br, 0)
+        dec._decode_chunk(out, nfull * CHUNK, count, br)
+    return out

@@ -49,20 +49,22 @@ def _build() -> str | None:
 def get_lib():
     """Return the loaded ctypes library, or None if unavailable."""
     global _LIB, _TRIED
-    if _LIB is not None or _TRIED:
+    if _LIB is not None:
         return _LIB
     with _LOCK:
         if _LIB is not None or _TRIED:
             return _LIB
-        _TRIED = True
         if os.environ.get("KANZI_TPU_NO_NATIVE"):
+            _TRIED = True
             return None
         so = _build()
         if so is None:
+            _TRIED = True
             return None
         try:
             lib = ctypes.CDLL(so)
         except OSError:
+            _TRIED = True
             return None
         c = ctypes
         u8p = c.POINTER(c.c_uint8)
