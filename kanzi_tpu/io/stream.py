@@ -478,6 +478,9 @@ class CompressedInputStream:
         self.ctx["bsVersion"] = self.bs_version
         self.ctx["checksum"] = self.checksum
         self.ctx["blockSize"] = self.block_size
+        # transforms pick variants based on the entropy stage (e.g. TEXT)
+        self.ctx["entropy"] = entropy_factory.get_name(self.entropy_type)
+        self.ctx["transform"] = transform_factory.get_name(self.transform_type)
 
     def add_listener(self, lst) -> bool:
         self.listeners.append(lst)

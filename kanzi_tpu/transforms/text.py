@@ -1,23 +1,58 @@
-"""Placeholder for the TextCodec transform — forward declines (stage skipped),
-inverse unsupported until implemented.  The skip-flag mechanism makes this a
-valid (if less effective) member of any chain."""
+"""TEXT codec: dictionary word substitution (TextCodec1/TextCodec2).
+
+Wire format re-derived from K/transform/TextCodec.java:31-1647 — see
+native/text.cpp for the full description.  The variant is picked by the
+entropy stage (ctx['textcodec']): 1 for bit-oriented coders (escape tokens
+0x0F/0x0E + 5/7/7-bit varint), 2 for Huffman/ANS0/Range/None (high-bit-mask
+indexes).  Output header byte carries MASK_NOT_TEXT/CRLF/XML_HTML.
+
+The per-byte scan runs in C++; without the native library the stage is
+skipped (valid — skip flags make every transform optional).
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
+from ..core import magic
+from ..core.globals import DataType
 from ..core.types import TransformSkip
+from ..utils import native_transforms as nt
 
 
 class TextCodec:
     def __init__(self, ctx: dict | None = None, **kw) -> None:
         self.ctx = ctx
+        self.codec_type = (ctx or {}).get("textcodec", 1)
+        self.block_size = (ctx or {}).get("blockSize", 4 * 1024 * 1024)
+        self.extra = (ctx or {}).get("entropy", "") == "TPAQX"
 
     def max_encoded_len(self, src_len: int) -> int:
-        return src_len + (src_len >> 2) + 1024
+        return src_len
 
     def forward(self, src: np.ndarray) -> np.ndarray:
-        raise TransformSkip("TextCodec not implemented yet")
+        src = np.asarray(src, dtype=np.uint8)
+        if src.size < 1024:  # MIN_BLOCK_SIZE
+            raise TransformSkip("TEXT: block too small")
+        if self.ctx is not None:
+            dt = self.ctx.get("dataType", DataType.UNDEFINED)
+            if dt not in (DataType.UNDEFINED, DataType.TEXT, DataType.BIN):
+                raise TransformSkip("TEXT: wrong data type")
+        magic_found = magic.get_type(src[:4].tobytes()) != magic.NO_MAGIC
+        res, dt_ord = nt.text_forward_native(src, self.codec_type, self.block_size,
+                                             self.extra, magic_found)
+        if self.ctx is not None and dt_ord is not None and dt_ord != 0:
+            self.ctx["dataType"] = DataType(dt_ord)
+        if res is None:
+            raise TransformSkip("TEXT: not text or native kernel unavailable")
+        return res
 
     def inverse(self, src: np.ndarray, count: int | None = None) -> np.ndarray:
-        raise NotImplementedError("TextCodec inverse not implemented yet")
+        src = np.asarray(src, dtype=np.uint8)
+        if src.size == 0:
+            return src.copy()
+        res = nt.text_inverse_native(src, self.codec_type, self.block_size,
+                                     self.extra, count)
+        if res is None:
+            raise NotImplementedError("TEXT inverse requires the native library")
+        return res

@@ -46,6 +46,19 @@ def _lib():
         lib.kz_bwt_forward.argtypes = [u8p, u8p, c.c_int64, i32p, c.c_int32]
         lib.kz_bwt_inverse.restype = c.c_int32
         lib.kz_bwt_inverse.argtypes = [u8p, u8p, c.c_int64, i32p, c.c_int32]
+        if hasattr(lib, "kz_text_set_dict"):
+            lib.kz_text_set_dict.restype = None
+            lib.kz_text_set_dict.argtypes = [u8p, c.c_int64]
+            lib.kz_text_forward.restype = c.c_int64
+            lib.kz_text_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int64,
+                                            c.c_int32, c.c_int64, c.c_int32,
+                                            c.c_int32, i32p]
+            lib.kz_text_inverse.restype = c.c_int64
+            lib.kz_text_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64,
+                                            c.c_int32, c.c_int64, c.c_int32]
+            from ..transforms._text_dict import DICT_EN_1024
+            d = np.frombuffer(DICT_EN_1024, dtype=np.uint8).copy()
+            lib.kz_text_set_dict(as_u8p(d), d.size)
         _SIGS_DONE = True
     return lib
 
@@ -132,6 +145,44 @@ def lzp_forward_native(src: np.ndarray):
     if n < 0:
         return np.zeros(0, dtype=np.uint8)
     return dst[:n].copy()
+
+
+def text_forward_native(src: np.ndarray, codec_type: int, block_size: int,
+                        extra: bool, magic_found: bool):
+    import ctypes
+    lib = _lib()
+    if lib is None or not hasattr(lib, "kz_text_forward"):
+        return None, None
+    s = np.ascontiguousarray(src)
+    dst = np.empty(src.size + 16, dtype=np.uint8)
+    dt = ctypes.c_int32(0)
+    n = lib.kz_text_forward(as_u8p(s), src.size, as_u8p(dst), src.size,
+                            codec_type, block_size, 1 if extra else 0,
+                            1 if magic_found else 0, ctypes.byref(dt))
+    if n < 0:
+        return None, int(dt.value)
+    return dst[:n].copy(), int(dt.value)
+
+
+def text_inverse_native(src: np.ndarray, codec_type: int, block_size: int,
+                        extra: bool, count: int | None):
+    lib = _lib()
+    if lib is None or not hasattr(lib, "kz_text_inverse"):
+        return None
+    s = np.ascontiguousarray(src)
+    # the decoder needs slack beyond the exact output size (mirrors the
+    # reference's oversized block buffers)
+    cap = (count + 1024) if count is not None else src.size * 8 + 1024
+    while cap <= (1 << 30) + 2048:
+        dst = np.empty(cap + 16, dtype=np.uint8)
+        n = lib.kz_text_inverse(as_u8p(s), src.size, as_u8p(dst), cap,
+                                codec_type, block_size, 1 if extra else 0)
+        if n >= 0:
+            return dst[:n].copy()
+        if count is not None:
+            raise ValueError("TEXT inverse failed")
+        cap *= 4
+    raise ValueError("TEXT inverse failed")
 
 
 def lzp_inverse_native(src: np.ndarray, count: int):
