@@ -185,6 +185,45 @@ def text_inverse_native(src: np.ndarray, codec_type: int, block_size: int,
     raise ValueError("TEXT inverse failed")
 
 
+def exe_forward_native(src: np.ndarray):
+    import ctypes
+    lib = _lib()
+    if lib is None or not hasattr(lib, "kz_exe_forward"):
+        return None, None
+    if not getattr(lib, "_exe_sigs", False):
+        c = ctypes
+        u8p = c.POINTER(c.c_uint8)
+        lib.kz_exe_forward.restype = c.c_int64
+        lib.kz_exe_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int64,
+                                       c.POINTER(c.c_int32)]
+        lib.kz_exe_inverse.restype = c.c_int64
+        lib.kz_exe_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
+        lib._exe_sigs = True
+    s = np.ascontiguousarray(src)
+    cap = src.size + (src.size >> 3) + 64
+    dst = np.empty(cap + 16, dtype=np.uint8)
+    dt = ctypes.c_int32(-1)
+    n = lib.kz_exe_forward(as_u8p(s), src.size, as_u8p(dst), cap, ctypes.byref(dt))
+    dtv = int(dt.value) if dt.value >= 0 else None
+    if n < 0:
+        return None, dtv
+    return dst[:n].copy(), dtv
+
+
+def exe_inverse_native(src: np.ndarray, count: int | None):
+    lib = _lib()
+    if lib is None or not hasattr(lib, "kz_exe_inverse"):
+        return None
+    exe_forward_native(np.zeros(0, dtype=np.uint8))  # ensure signatures
+    s = np.ascontiguousarray(src)
+    cap = (count + 1024) if count is not None else src.size * 2 + 4096
+    dst = np.empty(cap + 16, dtype=np.uint8)
+    n = lib.kz_exe_inverse(as_u8p(s), src.size, as_u8p(dst), cap)
+    if n < 0:
+        raise ValueError("EXE inverse failed")
+    return dst[:n].copy()
+
+
 def lzp_inverse_native(src: np.ndarray, count: int):
     lib = _lib()
     if lib is None:

@@ -173,3 +173,54 @@ def test_bwt_invalid_primary_index(rng):
     bad.primary_indexes = [0] * 8  # invalid (must be >= 1)
     with pytest.raises(Exception):
         bad.inverse(enc)
+
+
+# --- content filters ------------------------------------------------------
+
+def test_text_codec_roundtrip(rng):
+    from kanzi_tpu.transforms.text import TextCodec
+    eng = (b"The quick brown fox jumps over the lazy dog. Because there "
+           b"would be many people who believe that this time is different. ") * 200
+    data = np.frombuffer(eng, dtype=np.uint8)
+    for tc in (1, 2):
+        ctx = {"textcodec": tc, "blockSize": data.size, "entropy": "NONE"}
+        enc = TextCodec(ctx).forward(data)
+        out = TextCodec(dict(ctx)).inverse(enc, count=data.size)
+        np.testing.assert_array_equal(out, data)
+        assert enc.size < data.size
+
+
+def test_text_codec_skips_binary(rng):
+    from kanzi_tpu.transforms.text import TextCodec
+    data = rng.integers(0, 256, 50000, dtype=np.uint8)
+    assert _rt(TextCodec({"textcodec": 2, "blockSize": 50000}), data) is None
+
+
+def test_utf_codec_roundtrip(rng):
+    from kanzi_tpu.transforms.utf import UTFCodec
+    text = ("Привет мир! Ça va très bien. 日本語のテキスト。" * 300).encode("utf-8")
+    data = np.frombuffer(text, dtype=np.uint8)
+    n = _rt(UTFCodec({}), data)
+    assert n is not None and n < data.size
+
+
+def test_alias_codec_paths(rng):
+    from kanzi_tpu.transforms.alias import AliasCodec
+    dna = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 50000)
+    assert _rt(AliasCodec({}), dna) is not None
+    sym16 = rng.choice(np.frombuffer(b"0123456789abcdef", dtype=np.uint8), 49999)
+    assert _rt(AliasCodec({}), sym16) is not None
+    words = rng.choice(np.frombuffer(b"the cat sat on a mat zx!", dtype=np.uint8), 100000)
+    assert _rt(AliasCodec({}), words) is not None
+    assert _rt(AliasCodec({}), np.full(5000, 7, dtype=np.uint8)) is not None
+
+
+def test_exe_codec_roundtrip():
+    from kanzi_tpu.transforms.exe import EXECodec
+    import kanzi_tpu.utils.native as nat
+    nat.get_lib()
+    blob = open(nat._SO, "rb").read()
+    data = np.frombuffer(blob[:262144], dtype=np.uint8)
+    enc = EXECodec({}).forward(data)
+    out = EXECodec({}).inverse(enc, count=data.size)
+    np.testing.assert_array_equal(out, data)
