@@ -152,6 +152,8 @@ class ANSRangeEncoder:
             raise ValueError("invalid ANS log range")
         self.bw = bw
         self.order = order
+        self._chunk_size0 = chunk_size
+        self._log_range0 = log_range
         self.log_range = log_range if order == 0 else max(log_range - 1, 8)
         self.chunk_size = min(chunk_size << (8 * order), MAX_CHUNK_SIZE)
 
@@ -159,6 +161,10 @@ class ANSRangeEncoder:
         bw = bw or self.bw
         block = np.asarray(block, dtype=np.uint8)
         count = block.size
+        from ..utils.native_coders import ans_encode_native
+        if ans_encode_native(block, bw, self.order, self._chunk_size0,
+                             self._log_range0):
+            return count
         if count <= 32:
             bw.write_bytes(block.tobytes())
             return count
@@ -242,10 +248,15 @@ class ANSRangeDecoder:
             raise NotImplementedError("legacy (<v4) ANS streams not supported")
         self.br = br
         self.order = order
+        self._chunk_size0 = chunk_size
         self.chunk_size = min(chunk_size << (8 * order), MAX_CHUNK_SIZE)
 
     def decode(self, count: int, br: BitReader | None = None) -> np.ndarray:
         br = br or self.br
+        from ..utils.native_coders import ans_decode_native
+        res = ans_decode_native(count, br, self.order, self._chunk_size0)
+        if res is not None:
+            return res
         if count <= 32:
             return br.read_bytes(count)
         out = np.empty(count, dtype=np.uint8)

@@ -1,23 +1,214 @@
-"""Placeholder for the ROLZCodec transform — forward declines (stage skipped),
-inverse unsupported until implemented.  The skip-flag mechanism makes this a
-valid (if less effective) member of any chain."""
+"""ROLZ codec (reduced-offset LZ) with embedded ANS streams.
+
+Wire format re-derived from K/transform/ROLZCodec.java:45-1014 (ROLZCodec1):
+  u32be original size | flags byte (bit0 literal order, bits1-3 data-type
+  hints, bits4-7 logPosChecks) | per 16 MiB chunk an inner byte-aligned
+  bitstream: 4 x u32 stream lengths, ANS(litOrder) literals, ANS(order 0,
+  32 KiB chunks) tokens + match lengths + match indexes | 4 raw tail bytes.
+
+Match finding/tokenizing runs in C++ (native/rolz.cpp); this layer owns the
+framing and the embedded ANS coders.  ROLZX (ROLZCodec2, adaptive binary
+coder) is not implemented yet — it declines so chains fall back gracefully.
+"""
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
+from ..core.bits import BitReader, BitWriter
+from ..core.globals import DataType, detect_simple_type, histogram_order0
 from ..core.types import TransformSkip
+from ..entropy.ans import ANSRangeDecoder, ANSRangeEncoder
+from ..utils.native import as_u8p, get_lib
+
+CHUNK_SIZE = 16 * 1024 * 1024
+MIN_BLOCK_SIZE = 64
+MAX_BLOCK_SIZE = 1 << 30
+LOG_POS_CHECKS = 4
+MIN_MATCH3, MIN_MATCH4, MIN_MATCH7 = 3, 4, 7
+
+
+def _lib():
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kz_rolz1_forward_chunk"):
+        return None
+    if not getattr(lib, "_rolz_sigs", False):
+        c = ctypes
+        u8p = c.POINTER(c.c_uint8)
+        i32p = c.POINTER(c.c_int32)
+        i64p = c.POINTER(c.c_int64)
+        lib.kz_rolz1_forward_chunk.restype = c.c_int32
+        lib.kz_rolz1_forward_chunk.argtypes = [u8p, c.c_int64, c.c_int64, c.c_int64,
+                                               c.c_int32, c.c_int32, c.c_int32,
+                                               i32p, i32p, u8p, u8p, u8p, u8p, i64p]
+        lib.kz_rolz1_inverse_chunk.restype = c.c_int32
+        lib.kz_rolz1_inverse_chunk.argtypes = [u8p, c.c_int64, c.c_int64, c.c_int64,
+                                               c.c_int32, c.c_int32, c.c_int32,
+                                               i32p, i32p, u8p, c.c_int64, u8p,
+                                               c.c_int64, u8p, c.c_int64, u8p,
+                                               c.c_int64]
+        lib._rolz_sigs = True
+    return lib
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
 class ROLZCodec:
-    def __init__(self, ctx: dict | None = None, **kw) -> None:
+    def __init__(self, ctx: dict | None = None, extra: bool = False) -> None:
         self.ctx = ctx
+        transform = (ctx or {}).get("transform", "NONE")
+        self.extra = extra or ("ROLZX" in str(transform))
 
     def max_encoded_len(self, src_len: int) -> int:
-        return src_len + (src_len >> 2) + 1024
+        return src_len + 64 if src_len <= 512 else src_len
 
     def forward(self, src: np.ndarray) -> np.ndarray:
-        raise TransformSkip("ROLZCodec not implemented yet")
+        src = np.asarray(src, dtype=np.uint8)
+        count = src.size
+        if count == 0:
+            return src.copy()
+        if count < MIN_BLOCK_SIZE or count > MAX_BLOCK_SIZE:
+            raise TransformSkip("ROLZ: block size out of range")
+        if self.extra:
+            raise TransformSkip("ROLZX not implemented yet")
+        lib = _lib()
+        if lib is None:
+            raise TransformSkip("ROLZ: native kernel unavailable")
+
+        src_end = count - 4
+        lit_order = 0 if count < (1 << 17) else 1
+        flags = lit_order
+        min_match, delta = MIN_MATCH3, 2
+        dt = (self.ctx or {}).get("dataType", DataType.UNDEFINED)
+        if self.ctx is not None and dt == DataType.UNDEFINED:
+            dt = detect_simple_type(count, histogram_order0(src))
+            if dt != DataType.UNDEFINED:
+                self.ctx["dataType"] = dt
+        if dt == DataType.EXE:
+            delta, flags = 3, flags | 8
+        elif dt == DataType.MULTIMEDIA:
+            min_match, delta, flags = MIN_MATCH4, 8, flags | 2
+        elif dt == DataType.DNA:
+            min_match, delta, flags = MIN_MATCH7, 8, flags | 4
+        flags |= LOG_POS_CHECKS << 4
+
+        bw_total = bytearray()
+        bw_total += int(count).to_bytes(4, "big")
+        bw_total.append(flags)
+
+        spad = np.zeros(count + 16, dtype=np.uint8)
+        spad[:count] = src
+        counters = np.zeros(65536, dtype=np.int32)
+        matches = np.zeros(65536 << LOG_POS_CHECKS, dtype=np.int32)
+        start = 0
+        while start < src_end:
+            end = min(start + CHUNK_SIZE, src_end)
+            size_chunk = end - start
+            lit = np.empty(size_chunk + 64, dtype=np.uint8)
+            tk = np.empty(size_chunk // 2 + 64, dtype=np.uint8)
+            lenb = np.empty(size_chunk // 2 + 64, dtype=np.uint8)
+            midx = np.empty(size_chunk // 2 + 64, dtype=np.uint8)
+            lens = np.zeros(4, dtype=np.int64)
+            lib.kz_rolz1_forward_chunk(
+                as_u8p(spad), start, end, src_end, min_match, delta,
+                LOG_POS_CHECKS, _i32p(counters), _i32p(matches),
+                as_u8p(lit), as_u8p(tk), as_u8p(lenb), as_u8p(midx),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            nlit, ntk, nlen, nmidx = (int(x) for x in lens)
+            bw = BitWriter()
+            bw.write_bits(nlit, 32)
+            bw.write_bits(ntk, 32)
+            bw.write_bits(nlen, 32)
+            bw.write_bits(nmidx, 32)
+            lit_enc = ANSRangeEncoder(bw, lit_order)
+            lit_enc.encode(lit[:nlit])
+            m_enc = ANSRangeEncoder(bw, 0, 32768)
+            m_enc.encode(tk[:ntk])
+            m_enc.encode(lenb[:nlen])
+            m_enc.encode(midx[:nmidx])
+            bw_total += bw.getvalue()
+            start = end
+
+        bw_total += src[src_end:].tobytes()
+        if len(bw_total) >= count:
+            raise TransformSkip("ROLZ: would expand")
+        return np.frombuffer(bytes(bw_total), dtype=np.uint8).copy()
 
     def inverse(self, src: np.ndarray, count: int | None = None) -> np.ndarray:
-        raise NotImplementedError("ROLZCodec inverse not implemented yet")
+        src = np.asarray(src, dtype=np.uint8)
+        if src.size == 0:
+            return src.copy()
+        if self.extra:
+            raise NotImplementedError("ROLZX inverse not implemented yet")
+        lib = _lib()
+        if lib is None:
+            raise NotImplementedError("ROLZ inverse requires the native library")
+        n_in = src.size
+        sz_block = int.from_bytes(src[0:4].tobytes(), "big") - 4
+        if sz_block <= 0 or sz_block > MAX_BLOCK_SIZE:
+            raise ValueError("ROLZ: invalid block size")
+        flags = int(src[4])
+        lit_order = flags & 1
+        log_pos_checks = flags >> 4
+        if not 2 <= log_pos_checks <= 8:
+            raise ValueError("ROLZ: invalid logPosChecks")
+        min_match, delta = MIN_MATCH3, 2
+        mode = flags & 0x0E
+        if mode == 2:
+            min_match, delta = MIN_MATCH4, 8
+        elif mode == 4:
+            min_match, delta = MIN_MATCH7, 8
+        elif mode == 8:
+            delta = 3
+
+        out = np.zeros(sz_block + 4 + 16, dtype=np.uint8)
+        counters = np.zeros(65536, dtype=np.int32)
+        matches = np.zeros(65536 << log_pos_checks, dtype=np.int32)
+        src_idx = 5
+        start = 0
+        dst_end = sz_block
+        while start < dst_end:
+            end = min(start + CHUNK_SIZE, dst_end)
+            size_chunk = end - start
+            br = BitReader(src[src_idx:])
+            nlit = br.read_bits(32)
+            ntk = br.read_bits(32)
+            nlen = br.read_bits(32)
+            nmidx = br.read_bits(32)
+            first_lit = min(size_chunk, 8)
+            if nlit < first_lit or nlit > size_chunk or \
+                    (ntk == 0 and nmidx != 0) or (ntk > 0 and nmidx + 1 != ntk):
+                raise ValueError("ROLZ: invalid stream lengths")
+            lit_dec = ANSRangeDecoder(br, lit_order)
+            lit = np.ascontiguousarray(lit_dec.decode(nlit))
+            m_dec = ANSRangeDecoder(br, 0, 32768)
+            tk = np.ascontiguousarray(m_dec.decode(ntk))
+            lenb = np.ascontiguousarray(np.concatenate(
+                [m_dec.decode(nlen), np.zeros(8, dtype=np.uint8)]))
+            midx = np.ascontiguousarray(m_dec.decode(nmidx))
+            src_idx += (br.read_count + 7) >> 3
+            if ntk == 0:
+                if nlit != size_chunk:
+                    raise ValueError("ROLZ: literal chunk size mismatch")
+                out[start:end] = lit[:size_chunk]
+                start = end
+                continue
+            rc = lib.kz_rolz1_inverse_chunk(
+                as_u8p(out), start, end, dst_end, min_match, delta,
+                log_pos_checks, _i32p(counters), _i32p(matches),
+                as_u8p(lit), nlit, as_u8p(tk), ntk, as_u8p(lenb), nlen,
+                as_u8p(midx), nmidx)
+            if rc != 0:
+                raise ValueError(f"ROLZ: chunk decode failed ({rc})")
+            start = end
+        if n_in - src_idx != 4:
+            raise ValueError("ROLZ: bad tail")
+        out[dst_end:dst_end + 4] = src[src_idx:src_idx + 4]
+        res = out[:sz_block + 4]
+        if count is not None and res.size > count:
+            res = res[:count]
+        return res.copy()

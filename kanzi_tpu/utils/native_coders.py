@@ -87,6 +87,58 @@ def fpaq_decode_native(dec, count, br):
     return _run_decode(lib.kz_fpaq_decode, (), count, br)
 
 
+# --- ANS (order 0/1) ---------------------------------------------------------
+
+def _ans_sigs(lib):
+    if getattr(lib, "_ans_sigs", False):
+        return True
+    if not hasattr(lib, "kz_ans_encode"):
+        return False
+    c = ctypes
+    u8p = c.POINTER(c.c_uint8)
+    lib.kz_ans_encode.restype = c.c_int64
+    lib.kz_ans_encode.argtypes = [u8p, c.c_int64, u8p, c.c_int64, c.c_int32,
+                                  c.c_int64, c.c_int32]
+    lib.kz_ans_decode.restype = c.c_int64
+    lib.kz_ans_decode.argtypes = [u8p, c.c_int64, c.c_int64, u8p, c.c_int64,
+                                  c.c_int32, c.c_int64]
+    lib._ans_sigs = True
+    return True
+
+
+def ans_encode_native(block, bw, order: int, chunk_size: int, log_range: int) -> bool:
+    from .native import as_u8p
+    lib = _lib()
+    if lib is None or not _ans_sigs(lib):
+        return False
+    src = np.ascontiguousarray(block)
+    cap = block.size + (block.size >> 2) + 65536
+    dst = np.zeros(cap, dtype=np.uint8)
+    nbits = lib.kz_ans_encode(as_u8p(src), src.size, as_u8p(dst), cap, order,
+                              chunk_size, log_range)
+    if nbits < 0:
+        return False
+    bw.write_bytes(dst[:(nbits + 7) >> 3], nbits=int(nbits))
+    return True
+
+
+def ans_decode_native(count: int, br, order: int, chunk_size: int):
+    from .native import as_u8p
+    lib = _lib()
+    if lib is None or not _ans_sigs(lib):
+        return None
+    dst = np.empty(max(count, 1), dtype=np.uint8)
+    src = br._data
+    consumed = lib.kz_ans_decode(as_u8p(np.ascontiguousarray(src)), br._nbits,
+                                 br.read_count, as_u8p(dst), count, order,
+                                 chunk_size)
+    if consumed < 0:
+        from ..core.errors import BitStreamError
+        raise BitStreamError("native ANS decode failed", BitStreamError.INVALID_STREAM)
+    br.seek(br.read_count + int(consumed))
+    return dst[:count]
+
+
 # --- CM / TPAQ (hooked via predictor attributes) ----------------------------
 
 def cm_encode_native(enc, block, bw) -> bool:

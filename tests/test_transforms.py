@@ -224,3 +224,30 @@ def test_exe_codec_roundtrip():
     enc = EXECodec({}).forward(data)
     out = EXECodec({}).inverse(enc, count=data.size)
     np.testing.assert_array_equal(out, data)
+
+
+def test_rolz_roundtrip(rng):
+    from kanzi_tpu.transforms.rolz import ROLZCodec
+    words = [b"the quick brown fox ", b"jumps over ", b"lazy dog. "]
+    data = np.frombuffer(b"".join([words[i] for i in rng.choice(3, 5000)]), dtype=np.uint8)
+    enc = ROLZCodec({}).forward(data)
+    out = ROLZCodec({}).inverse(enc, count=data.size)
+    np.testing.assert_array_equal(out, data)
+    assert enc.size < data.size // 4
+    # random data declines
+    assert _rt(ROLZCodec({}), rng.integers(0, 256, 5000, dtype=np.uint8)) is None
+
+
+def test_ans_native_matches_python(rng, monkeypatch):
+    import kanzi_tpu.utils.native_coders as nc
+    from kanzi_tpu.core.bits import BitWriter
+    from kanzi_tpu.entropy.ans import ANSRangeEncoder
+    data = rng.choice(np.frombuffer(b"abcdefgh", dtype=np.uint8), 40000)
+    for order in (0, 1):
+        bw1 = BitWriter()
+        ANSRangeEncoder(bw1, order).encode(data)
+        monkeypatch.setattr(nc, "_FORCE_PY", True)
+        bw2 = BitWriter()
+        ANSRangeEncoder(bw2, order).encode(data)
+        monkeypatch.setattr(nc, "_FORCE_PY", False)
+        assert bw1.getvalue() == bw2.getvalue()
