@@ -22,6 +22,8 @@ def main(argv=None) -> int:
         description="kanzi_tpu — TPU-native block compressor (kanzi bitstream v7)")
     p.add_argument("-c", "--compress", action="store_true")
     p.add_argument("-d", "--decompress", action="store_true")
+    p.add_argument("-y", "--info", action="store_true",
+                   help="print stream header info without decompressing")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", default=None)
     p.add_argument("-b", "--block", default=None, help="block size (e.g. 4m, 1024k, auto)")
@@ -39,6 +41,8 @@ def main(argv=None) -> int:
     p.add_argument("--rm", action="store_true", help="remove input after success")
     args = p.parse_args(argv)
 
+    if args.info:
+        return _info(args)
     if args.compress == args.decompress:
         print("Exactly one of -c / -d is required", file=sys.stderr)
         return Error.ERR_MISSING_PARAM
@@ -128,6 +132,25 @@ def _decompress(args) -> int:
               f"{dt*1000:.0f} ms [{written/max(dt,1e-9)/1e6:.1f} MB/s]")
     if args.rm:
         os.remove(args.input)
+    return 0
+
+
+def _info(args) -> int:
+    """`-y`: decode the stream header only (BlockDecompressor.java:168-182)."""
+    from ..io.stream import CompressedInputStream
+    from .info_printer import InfoPrinter, Type
+    with open(args.input, "rb") as f:
+        cis = CompressedInputStream(f, {"jobs": 1, "from": 1, "to": 1})
+    printer = InfoPrinter(Type.INFO, verbosity=args.verbose)
+    from ..core.events import Event, EventType, HeaderInfo
+    from ..entropy import factory as ef
+    from ..transforms import factory as tf
+    printer.process_event(Event(
+        EventType.AFTER_HEADER_DECODING, 0, 0,
+        header=HeaderInfo(cis.bs_version, cis.checksum, cis.block_size,
+                          ef.get_name(cis.entropy_type),
+                          tf.get_name(cis.transform_type),
+                          cis.output_size or -1)))
     return 0
 
 

@@ -93,3 +93,49 @@ def test_xxhash32_known_vector():
     # canonical xxh32 test vector (the 32-bit variant is canonical xxHash)
     assert xxhash._xxhash32_py(b"", 0) == 0x02CC5D05
     assert xxhash._xxhash32_py(b"", 0x9E3779B1) == 0x36B78AE7
+
+
+def test_lyndon_factorization():
+    from kanzi_tpu.utils.lyndon import lyndon_words
+    assert lyndon_words(b"banana") == [b"b", b"an", b"an", b"a"]
+    assert lyndon_words(b"aaab") == [b"aaab"]
+    assert lyndon_words(b"") == []
+
+
+def test_sorts(rng):
+    from kanzi_tpu.utils import sorts
+    for cls in (sorts.QuickSort, sorts.RadixSort, sorts.BucketSort,
+                sorts.MergeSort, sorts.HeapSort, sorts.InsertionSort):
+        data = rng.integers(0, 200, 500).astype(np.int64)
+        expect = np.sort(data.copy())
+        inst = cls()
+        inst.sort(data)
+        np.testing.assert_array_equal(data, expect)
+
+
+def test_debug_bitstreams(rng):
+    import io as pyio
+    from kanzi_tpu.core.bits import BitReader, BitWriter
+    from kanzi_tpu.core.debug_bits import DebugInputBitStream, DebugOutputBitStream
+    sink = pyio.StringIO()
+    bw = DebugOutputBitStream(BitWriter(), out=sink)
+    bw.write_bits(0b101, 3)
+    bw.write_bits(0xFF, 8)
+    data = bw.delegate.getvalue()
+    assert "101" in sink.getvalue().replace("\n", "")
+    sink2 = pyio.StringIO()
+    br = DebugInputBitStream(BitReader(data), out=sink2)
+    assert br.read_bits(3) == 0b101
+    assert br.read_bits(8) == 0xFF
+
+
+def test_ioutil(tmp_path):
+    from kanzi_tpu.io.ioutil import create_file_list, sort_files_by_path_and_size
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "f1.txt").write_bytes(b"x" * 100)
+    (tmp_path / "a" / "f2.txt").write_bytes(b"x" * 10)
+    (tmp_path / ".hidden").write_bytes(b"h")
+    files = create_file_list(str(tmp_path), skip_dot_files=True)
+    assert len(files) == 2
+    sort_files_by_path_and_size(files, True)
+    assert files[0].name == "f1.txt"  # bigger first within dir

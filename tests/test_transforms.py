@@ -251,3 +251,12 @@ def test_ans_native_matches_python(rng, monkeypatch):
         ANSRangeEncoder(bw2, order).encode(data)
         monkeypatch.setattr(nc, "_FORCE_PY", False)
         assert bw1.getvalue() == bw2.getvalue()
+
+
+def test_bwts_roundtrip(rng):
+    from kanzi_tpu.transforms.bwts import BWTS
+    for n in [1, 2, 100, 3000]:
+        data = rng.choice(np.frombuffer(b"mississippi banana ", dtype=np.uint8), n)
+        enc = BWTS().forward(data)
+        out = BWTS().inverse(enc, count=n)
+        np.testing.assert_array_equal(out, data)
