@@ -44,7 +44,14 @@ struct BitSink {
             std::memcpy(buf + (bitpos >> 3), p, n);
             bitpos += 8 * n;
         } else {
-            for (i64 i = 0; i < n; i++) bits(p[i], 8);
+            const i32 sh = bitpos & 7;
+            i64 bi = bitpos >> 3;
+            for (i64 i = 0; i < n; i++) {
+                buf[bi] |= (u8)(p[i] >> sh);
+                buf[bi + 1] |= (u8)(p[i] << (8 - sh));
+                bi++;
+            }
+            bitpos += 8 * n;
         }
     }
     void varint(u32 v) {
@@ -71,7 +78,15 @@ struct BitSource {
             std::memcpy(p, buf + (bitpos >> 3), n);
             bitpos += 8 * n;
         } else {
-            for (i64 i = 0; i < n; i++) p[i] = (u8)bits(8);
+            const i32 sh = bitpos & 7;
+            const i64 lim = (nbits + 7) >> 3;
+            i64 bi = bitpos >> 3;
+            for (i64 i = 0; i < n; i++) {
+                const u8 nxt = (bi + 1 < lim) ? buf[bi + 1] : 0;
+                p[i] = (u8)((buf[bi] << sh) | (nxt >> (8 - sh)));
+                bi++;
+            }
+            bitpos += 8 * n;
         }
     }
     u32 varint() {
