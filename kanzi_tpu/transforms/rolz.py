@@ -49,6 +49,12 @@ def _lib():
                                                i32p, i32p, u8p, c.c_int64, u8p,
                                                c.c_int64, u8p, c.c_int64, u8p,
                                                c.c_int64]
+        lib.kz_rolz2_forward.restype = c.c_int64
+        lib.kz_rolz2_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int64,
+                                         c.c_int32, c.c_int32, c.c_int32]
+        lib.kz_rolz2_inverse.restype = c.c_int64
+        lib.kz_rolz2_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64,
+                                         c.c_int32, c.c_int32]
         lib._rolz_sigs = True
     return lib
 
@@ -60,8 +66,7 @@ def _i32p(a):
 class ROLZCodec:
     def __init__(self, ctx: dict | None = None, extra: bool = False) -> None:
         self.ctx = ctx
-        transform = (ctx or {}).get("transform", "NONE")
-        self.extra = extra or ("ROLZX" in str(transform))
+        self.extra = extra
 
     def max_encoded_len(self, src_len: int) -> int:
         return src_len + 64 if src_len <= 512 else src_len
@@ -73,11 +78,11 @@ class ROLZCodec:
             return src.copy()
         if count < MIN_BLOCK_SIZE or count > MAX_BLOCK_SIZE:
             raise TransformSkip("ROLZ: block size out of range")
-        if self.extra:
-            raise TransformSkip("ROLZX not implemented yet")
         lib = _lib()
         if lib is None:
             raise TransformSkip("ROLZ: native kernel unavailable")
+        if self.extra:
+            return self._forward_x(src, lib)
 
         src_end = count - 4
         lit_order = 0 if count < (1 << 17) else 1
@@ -138,15 +143,65 @@ class ROLZCodec:
             raise TransformSkip("ROLZ: would expand")
         return np.frombuffer(bytes(bw_total), dtype=np.uint8).copy()
 
+    def _dt_params(self, src: np.ndarray, count: int, for_x: bool):
+        """(min_match, delta, flags) from the detected data type."""
+        min_match, delta, flags = MIN_MATCH3, 2, 0
+        dt = (self.ctx or {}).get("dataType", DataType.UNDEFINED)
+        if self.ctx is not None and dt == DataType.UNDEFINED:
+            dt = detect_simple_type(count, histogram_order0(src))
+            if dt != DataType.UNDEFINED:
+                self.ctx["dataType"] = dt
+        if dt == DataType.EXE:
+            delta, flags = 3, 8
+        elif dt == DataType.MULTIMEDIA and not for_x:
+            min_match, delta, flags = MIN_MATCH4, 8, 2
+        elif dt == DataType.DNA:
+            min_match, delta, flags = MIN_MATCH7, 8, 4
+        return min_match, delta, flags
+
+    def _forward_x(self, src: np.ndarray, lib) -> np.ndarray:
+        """ROLZX: adaptive binary range coder (ROLZCodec2)."""
+        count = src.size
+        min_match, delta, flags = self._dt_params(src, count, True)
+        spad = np.zeros(count + 16, dtype=np.uint8)
+        spad[:count] = src
+        cap = count + (count >> 5) + 4096
+        dst = np.zeros(cap + 16, dtype=np.uint8)
+        n = lib.kz_rolz2_forward(as_u8p(spad), count, as_u8p(dst), cap,
+                                 min_match, delta, flags)
+        if n < 0:
+            raise TransformSkip("ROLZX: no gain")
+        return dst[:n].copy()
+
+    def _inverse_x(self, src: np.ndarray, count, lib) -> np.ndarray:
+        flags = int(src[4])
+        min_match, delta = MIN_MATCH3, 2
+        if (flags & 0x0E) == 8:
+            delta = 3
+        elif (flags & 0x0E) == 4:
+            min_match, delta = MIN_MATCH7, 8
+        sz_block = int.from_bytes(src[0:4].tobytes(), "big")
+        out = np.zeros(sz_block + 16, dtype=np.uint8)
+        spad = np.zeros(src.size + 16, dtype=np.uint8)
+        spad[:src.size] = src
+        n = lib.kz_rolz2_inverse(as_u8p(spad), src.size, as_u8p(out), sz_block,
+                                 min_match, delta)
+        if n < 0:
+            raise ValueError("ROLZX inverse failed")
+        res = out[:n]
+        if count is not None and res.size > count:
+            res = res[:count]
+        return res.copy()
+
     def inverse(self, src: np.ndarray, count: int | None = None) -> np.ndarray:
         src = np.asarray(src, dtype=np.uint8)
         if src.size == 0:
             return src.copy()
-        if self.extra:
-            raise NotImplementedError("ROLZX inverse not implemented yet")
         lib = _lib()
         if lib is None:
             raise NotImplementedError("ROLZ inverse requires the native library")
+        if self.extra:
+            return self._inverse_x(src, count, lib)
         n_in = src.size
         sz_block = int.from_bytes(src[0:4].tobytes(), "big") - 4
         if sz_block <= 0 or sz_block > MAX_BLOCK_SIZE:

@@ -238,6 +238,40 @@ def test_rolz_roundtrip(rng):
     assert _rt(ROLZCodec({}), rng.integers(0, 256, 5000, dtype=np.uint8)) is None
 
 
+def test_rolzx_roundtrip(rng):
+    from kanzi_tpu.transforms.rolz import ROLZCodec
+    words = [b"the quick brown fox ", b"jumps over ", b"lazy dog. "]
+    data = np.frombuffer(b"".join([words[i] for i in rng.choice(3, 5000)]), dtype=np.uint8)
+    enc = ROLZCodec({}, extra=True).forward(data)
+    out = ROLZCodec({}, extra=True).inverse(enc, count=data.size)
+    np.testing.assert_array_equal(out, data)
+    assert enc.size < data.size // 4
+    # skewed low-entropy data (exercises the adaptive binary coder's
+    # carry/renorm paths that diverge from the ROLZ+ANS pipeline)
+    skew = (rng.integers(0, 2, 200000) * rng.integers(0, 16, 200000)).astype(np.uint8)
+    enc2 = ROLZCodec({}, extra=True).forward(skew)
+    out2 = ROLZCodec({}, extra=True).inverse(enc2, count=skew.size)
+    np.testing.assert_array_equal(out2, skew)
+    # random data declines
+    assert _rt(ROLZCodec({}, extra=True), rng.integers(0, 256, 5000, dtype=np.uint8)) is None
+
+
+def test_rolzx_stream_roundtrip(rng):
+    import io as _io
+    from kanzi_tpu.io.stream import CompressedOutputStream, CompressedInputStream
+    data = bytes(b"hello world, kanzi-tpu rolzx stream test. " * 4000)
+    buf = _io.BytesIO()
+    cos = CompressedOutputStream(buf, {"transform": "ROLZX", "entropy": "NONE",
+                                       "blockSize": 128 * 1024, "jobs": 2})
+    cos.write(data)
+    cos.close()
+    cis = CompressedInputStream(_io.BytesIO(buf.getvalue()), {"jobs": 2})
+    out = cis.read(len(data) + 100)
+    if isinstance(out, np.ndarray):
+        out = out.tobytes()
+    assert out == data
+
+
 def test_ans_native_matches_python(rng, monkeypatch):
     import kanzi_tpu.utils.native_coders as nc
     from kanzi_tpu.core.bits import BitWriter
