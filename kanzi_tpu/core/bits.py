@@ -40,6 +40,57 @@ def pack_msb(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return ((values[item] >> shift) & _U64(1)).astype(np.uint8)
 
 
+def mask_tail(seg: np.ndarray, nbits: int) -> np.ndarray:
+    """Zero any bits of ``seg`` past ``nbits`` (copying only if needed)."""
+    nbytes = (nbits + 7) >> 3
+    seg = seg[:nbytes]
+    pad = nbytes * 8 - nbits
+    if pad and nbytes and (seg[-1] & ((1 << pad) - 1)):
+        seg = seg.copy()
+        seg[-1] &= (0xFF << pad) & 0xFF
+    return seg
+
+
+def append_packed(out: np.ndarray, bitpos: int, seg: np.ndarray, nbits: int) -> int:
+    """OR-merge a packed MSB-first segment into ``out`` at bit offset ``bitpos``.
+
+    ``out`` must be zero beyond ``bitpos``; ``seg`` holds ``nbits`` bits with a
+    zero-padded tail (see :func:`mask_tail`).  Returns the new bit offset.
+    This is the vectorized equivalent of the reference's 64-bit accumulator
+    loop (DefaultOutputBitStream.java:103-206) for whole buffers.
+    """
+    if nbits == 0:
+        return bitpos
+    seg = mask_tail(seg, nbits)
+    k = bitpos & 7
+    byte0 = bitpos >> 3
+    if k == 0:
+        out[byte0:byte0 + seg.size] |= seg
+    else:
+        wide = np.zeros(seg.size + 2, dtype=np.uint16)
+        wide[1:-1] = seg
+        shifted = (((wide[:-1] << (8 - k)) | (wide[1:] >> k)) & 0xFF).astype(np.uint8)
+        need = (k + nbits + 7) >> 3
+        out[byte0:byte0 + need] |= shifted[:need]
+    return bitpos + nbits
+
+
+def pack_pairs(values: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, int]:
+    """Pack (value, count) pairs MSB-first into (bytes, nbits)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8), 0
+    if counts.size <= 64:
+        acc = 0
+        for v, c in zip(np.asarray(values, dtype=_U64).tolist(), counts.tolist()):
+            acc = (acc << c) | (int(v) & ((1 << c) - 1))
+        nbytes = (total + 7) >> 3
+        acc <<= nbytes * 8 - total
+        return np.frombuffer(acc.to_bytes(nbytes, "big"), dtype=np.uint8), total
+    return np.packbits(pack_msb(values, counts)), total
+
+
 def bits_to_bytes(bits: np.ndarray) -> np.ndarray:
     """Pack a 0/1 uint8 bit array MSB-first into bytes (zero-padded tail)."""
     return np.packbits(bits)
@@ -163,6 +214,33 @@ class BitWriter:
             return np.zeros(0, dtype=np.uint8)
         return np.concatenate(segs)
 
+    def extend(self, other: "BitWriter") -> None:
+        """Append another writer's segments without re-packing."""
+        other._flush_pending()
+        self._flush_pending()
+        self._segments.extend(other._segments)
+        self._nbits += other._nbits
+
+    def getvalue_packed(self) -> tuple[np.ndarray, int]:
+        """Packed byte image + exact bit count, without bit expansion.
+
+        The hot path for block assembly: byte segments are merged with one
+        vectorized shift each instead of expanding to 1-byte-per-bit arrays.
+        """
+        self._flush_pending()
+        out = np.zeros((self._nbits + 7) >> 3, dtype=np.uint8)
+        bitpos = 0
+        for kind, payload in self._segments:
+            if kind == "v":
+                seg, n = pack_pairs(*payload)
+            elif kind == "a":
+                seg, n = np.packbits(payload), payload.size
+            else:
+                arr, n = payload
+                seg = arr
+            bitpos = append_packed(out, bitpos, seg, n)
+        return out, self._nbits
+
 
 class BitReader:
     """MSB-first bit reader over an in-memory byte buffer."""
@@ -247,6 +325,27 @@ class BitReader:
         bits = np.unpackbits(self._data[b0:b1])
         off = pos - (b0 << 3)
         return bits[off:off + nbits]
+
+    def read_packed(self, nbits: int) -> np.ndarray:
+        """Read ``nbits`` bits as a packed byte array (zero-padded tail)."""
+        pos = self._pos
+        if pos + nbits > self._nbits:
+            raise EOFError("bitstream exhausted")
+        nbytes = (nbits + 7) >> 3
+        sh = pos & 7
+        b0 = pos >> 3
+        if sh == 0:
+            out = self._data[b0:b0 + nbytes].copy()
+        else:
+            raw = self._data[b0:b0 + nbytes + 1].astype(np.uint16)
+            if raw.size < nbytes + 1:
+                raw = np.concatenate([raw, np.zeros(nbytes + 1 - raw.size, dtype=np.uint16)])
+            out = (((raw[:-1] << sh) | (raw[1:] >> (8 - sh))) & 0xFF).astype(np.uint8)
+        self._pos = pos + nbits
+        pad = nbytes * 8 - nbits
+        if pad and nbytes:
+            out[-1] &= (0xFF << pad) & 0xFF
+        return out
 
     def read_bytes(self, nbytes: int) -> np.ndarray:
         """Bulk read of nbytes; works at any bit alignment."""

@@ -36,7 +36,7 @@ from typing import BinaryIO, Optional
 import numpy as np
 
 from ..core import magic
-from ..core.bits import BitReader, BitWriter
+from ..core.bits import BitReader, BitWriter, append_packed
 from ..core.errors import Error, IOError_
 from ..core.events import Event, EventType, HeaderInfo, notify
 from ..core.globals import (DataType, first_order_entropy_1024, histogram_order0, log2)
@@ -95,8 +95,8 @@ def _block_header_checksum(mode: int, header_skip_flags: int,
 # ---------------------------------------------------------------------------
 
 def encode_block(block: np.ndarray, transform_type: int, entropy_type: int,
-                 ctx: dict, listeners=(), block_id: int = 0) -> np.ndarray:
-    """Encode one block; returns its payload bit array (uint8 0/1)."""
+                 ctx: dict, listeners=(), block_id: int = 0) -> tuple[np.ndarray, int]:
+    """Encode one block; returns (packed payload bytes, bit count)."""
     block_length = block.size
     checksum = 0
     chk = ctx.get("checksum", 0)
@@ -157,7 +157,7 @@ def encode_block(block: np.ndarray, transform_type: int, entropy_type: int,
     ee.dispose()
     payload_bits = ebw.written
 
-    def assemble(mode_b: int, with_skip_byte: bool, payload_writer) -> np.ndarray:
+    def assemble(mode_b: int, with_skip_byte: bool, payload_writer) -> tuple[np.ndarray, int]:
         hdr_bits = 8 + (8 if with_skip_byte else 0) + 8 * data_size + 8
         cs_bits = 32 if chk == 32 else (64 if chk == 64 else 0)
         total = hdr_bits + cs_bits + payload_writer.written
@@ -180,8 +180,8 @@ def encode_block(block: np.ndarray, transform_type: int, entropy_type: int,
             bw.write_bits(checksum, 32)
         elif chk == 64:
             bw.write_bits(checksum, 64)
-        bw.write_bit_array(payload_writer.getvalue_bits())
-        return bw.getvalue_bits()
+        bw.extend(payload_writer)
+        return bw.getvalue_packed()
 
     use_skip_byte = not (mode & COPY_BLOCK_MASK) and nb_functions > 4
     if use_skip_byte:
@@ -196,16 +196,16 @@ def encode_block(block: np.ndarray, transform_type: int, entropy_type: int,
             # transformed copy: raw transformed bytes beat the entropy stage
             copy_mode = mode | COPY_BLOCK_MASK | TRANSFORMS_MASK
             cbw = BitWriter()
-            cbw.write_bytes(buf.tobytes())
-            bits = assemble(copy_mode, nb_functions > 4, cbw)
+            cbw.write_bytes(buf)
+            arr, nbits = assemble(copy_mode, nb_functions > 4, cbw)
             notify(listeners, Event(EventType.AFTER_ENTROPY, block_id,
-                                    (bits.size + 7) >> 3, checksum if chk else None))
-            return bits
+                                    (nbits + 7) >> 3, checksum if chk else None))
+            return arr, nbits
 
-    bits = assemble(mode, use_skip_byte, ebw)
+    arr, nbits = assemble(mode, use_skip_byte, ebw)
     notify(listeners, Event(EventType.AFTER_ENTROPY, block_id,
-                            (bits.size + 7) >> 3, checksum if chk else None))
-    return bits
+                            (nbits + 7) >> 3, checksum if chk else None))
+    return arr, nbits
 
 
 def decode_block(payload: np.ndarray, nbits: int, transform_type: int,
@@ -367,25 +367,37 @@ class CompressedOutputStream:
         cksum = _header_checksum(chk_size, self.entropy_type, self.transform_type,
                                  self.block_size, self.input_size, sz_mask)
         bw.write_bits(cksum, 24)
-        self._bits_out(bw.getvalue_bits())
+        self._bits_out(*bw.getvalue_packed())
 
-    def _bits_out(self, bits: np.ndarray) -> None:
-        self._bit_buffer = getattr(self, "_bit_buffer", [])
-        self._bit_buffer.append(bits)
-        self._written_bits += bits.size
+    def _bits_out(self, arr: np.ndarray, nbits: int) -> None:
+        """Queue a packed segment (bytes + bit count) for output."""
+        self._seg_buffer = getattr(self, "_seg_buffer", [])
+        self._seg_buffer.append((arr, nbits))
+        self._written_bits += nbits
 
     def _flush_bits(self, final: bool) -> None:
-        buf = getattr(self, "_bit_buffer", [])
-        if not buf:
+        segs = getattr(self, "_seg_buffer", [])
+        tail_byte = getattr(self, "_tail_byte", 0)
+        tail_bits = getattr(self, "_tail_bits", 0)
+        if not segs and not (final and tail_bits):
             return
-        bits = np.concatenate(buf)
+        total = tail_bits + sum(n for _, n in segs)
+        out = np.zeros((total + 7) >> 3, dtype=np.uint8)
+        if tail_bits:
+            out[0] = tail_byte
+        bitpos = tail_bits
+        for arr, n in segs:
+            bitpos = append_packed(out, bitpos, arr, n)
+        self._seg_buffer = []
         if final:
-            self.os.write(np.packbits(bits).tobytes())
-            self._bit_buffer = []
+            self.os.write(out.tobytes())
+            self._tail_byte = 0
+            self._tail_bits = 0
         else:
-            whole = bits.size & ~7
-            self.os.write(np.packbits(bits[:whole]).tobytes())
-            self._bit_buffer = [bits[whole:]] if whole < bits.size else []
+            whole = total >> 3
+            self.os.write(out[:whole].tobytes())
+            self._tail_bits = total & 7
+            self._tail_byte = int(out[whole]) if self._tail_bits else 0
 
     def write(self, data) -> int:
         if self._closed:
@@ -419,14 +431,14 @@ class CompressedOutputStream:
         else:
             results = [job(x) for x in enumerate(chunks)]
         self._block_id += len(chunks)
-        for bits in results:
-            written = bits.size
+        for arr, nbits in results:
+            written = nbits
             lw = 3 if written < 8 else log2(written >> 3) + 4
             fb = BitWriter()
             fb.write_bits(lw - 3, 5)
             fb.write_bits(written, lw)
-            self._bits_out(fb.getvalue_bits())
-            self._bits_out(bits)
+            self._bits_out(*fb.getvalue_packed())
+            self._bits_out(arr, nbits)
         self._flush_bits(False)
 
     def close(self) -> None:
@@ -439,7 +451,7 @@ class CompressedOutputStream:
         eb = BitWriter()
         eb.write_bits(0, 5)
         eb.write_bits(0, 3)
-        self._bits_out(eb.getvalue_bits())
+        self._bits_out(*eb.getvalue_packed())
         self._flush_bits(True)
         if self._pool is not None:
             self._pool.shutdown()
@@ -535,7 +547,7 @@ class CompressedInputStream:
                 break
             # payloads are bit-packed: consume exactly nbits, realign to bytes
             try:
-                payload = np.packbits(br.read_bit_array(nbits))
+                payload = br.read_packed(nbits)
             except EOFError:
                 raise IOError_("truncated stream: incomplete block payload",
                                Error.ERR_READ_FILE)
