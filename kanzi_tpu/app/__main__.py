@@ -34,11 +34,22 @@ def main(argv=None) -> int:
     p.add_argument("-v", "--verbose", type=int, default=1)
     p.add_argument("-x", "--checksum", nargs="?", const="32", default="0",
                    help="block checksum size (32 or 64)")
-    p.add_argument("-f", "--force", action="store_true", help="overwrite output")
+    p.add_argument("-x32", dest="checksum", action="store_const", const="32",
+                   help="32-bit block checksums (same as -x)")
+    p.add_argument("-x64", dest="checksum", action="store_const", const="64",
+                   help="64-bit block checksums")
+    p.add_argument("-f", "--force", "--overwrite", action="store_true",
+                   help="overwrite output")
     p.add_argument("-s", "--skip", action="store_true", help="skip incompressible blocks")
     p.add_argument("--from", dest="from_block", type=int, default=0)
     p.add_argument("--to", dest="to_block", type=int, default=0)
     p.add_argument("--rm", action="store_true", help="remove input after success")
+    p.add_argument("--skip-links", action="store_true",
+                   help="do not follow symbolic links when recursing directories")
+    p.add_argument("--skip-dot-files", action="store_true",
+                   help="ignore dot files when recursing directories")
+    p.add_argument("--no-file-reorder", action="store_true",
+                   help="keep path order instead of (dir, size desc) order")
     args = p.parse_args(argv)
 
     if args.info:
@@ -80,6 +91,29 @@ def _out_path(args, suffix: str, strip: str) -> str:
     return args.input + suffix
 
 
+def _input_files(args) -> list[str]:
+    """Expand the -i argument: file, comma list, or directory (recursed).
+
+    Mirrors K/app/BlockCompressor.java:256 + IOUtil enumeration with the
+    --skip-links/--skip-dot-files/--no-file-reorder flags.
+    """
+    from ..io.ioutil import create_file_list, sort_files_by_path_and_size
+    files: list = []
+    for part in args.input.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if os.path.isdir(part):
+            files.extend(create_file_list(part, skip_links=args.skip_links,
+                                          skip_dot_files=args.skip_dot_files))
+        else:
+            from pathlib import Path
+            files.append(Path(part))
+    if len(files) > 1:
+        sort_files_by_path_and_size(files, not args.no_file_reorder)
+    return [str(f) for f in files]
+
+
 def _compress(args) -> int:
     jobs = args.jobs if args.jobs > 0 else min(os.cpu_count() or 1, 64)
     level = args.level
@@ -93,45 +127,77 @@ def _compress(args) -> int:
         transform = args.transform or "NONE"
         entropy = args.entropy or "NONE"
         default_block = 4 * 1024 * 1024
-    file_size = os.path.getsize(args.input) if os.path.isfile(args.input) else 0
-    block = _parse_block_size(args.block, file_size, jobs) if args.block else default_block
-    out = _out_path(args, ".knz", "")
-    if os.path.exists(out) and not args.force:
-        print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
-        return Error.ERR_OVERWRITE_FILE
-    bc = BlockCompressor(transform=transform, entropy=entropy, block_size=block,
-                         jobs=jobs, checksum=int(args.checksum or 0),
-                         skip_blocks=args.skip, verbosity=args.verbose)
+    inputs = _input_files(args)
+    if not inputs:
+        print("No input files found", file=sys.stderr)
+        return Error.ERR_OPEN_FILE
+    multi = len(inputs) > 1
+    out_dir = args.output if multi and args.output and os.path.isdir(args.output) else None
+    total_read = total_written = 0
     t0 = time.time()
-    read, written = bc.compress_file(args.input, out)
-    dt = time.time() - t0
-    if args.verbose > 0:
-        ratio = written / read if read else 0
-        print(f"Compressed {args.input}: {read} -> {written} bytes "
-              f"(ratio {ratio:.4f}) in {dt*1000:.0f} ms "
-              f"[{read/max(dt,1e-9)/1e6:.1f} MB/s] "
-              f"t={transform} e={entropy} b={block} j={jobs}")
-    if args.rm:
-        os.remove(args.input)
+    for path in inputs:
+        file_size = os.path.getsize(path) if os.path.isfile(path) else 0
+        block = _parse_block_size(args.block, file_size, jobs) if args.block else default_block
+        if multi:
+            out = (os.path.join(out_dir, os.path.basename(path) + ".knz")
+                   if out_dir else path + ".knz")
+        else:
+            out = _out_path(args, ".knz", "")
+        if os.path.exists(out) and not args.force:
+            print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
+            return Error.ERR_OVERWRITE_FILE
+        bc = BlockCompressor(transform=transform, entropy=entropy, block_size=block,
+                             jobs=jobs, checksum=int(args.checksum or 0),
+                             skip_blocks=args.skip, verbosity=args.verbose)
+        tf = time.time()
+        read, written = bc.compress_file(path, out)
+        dtf = time.time() - tf
+        total_read += read
+        total_written += written
+        if args.verbose > 0:
+            ratio = written / read if read else 0
+            print(f"Compressed {path}: {read} -> {written} bytes "
+                  f"(ratio {ratio:.4f}) in {dtf*1000:.0f} ms "
+                  f"[{read/max(dtf,1e-9)/1e6:.1f} MB/s] "
+                  f"t={transform} e={entropy} b={block} j={jobs}")
+        if args.rm:
+            os.remove(path)
+    if multi and args.verbose > 0:
+        dt = time.time() - t0
+        print(f"Total: {len(inputs)} files, {total_read} -> {total_written} bytes "
+              f"in {dt*1000:.0f} ms")
     return 0
 
 
 def _decompress(args) -> int:
     jobs = args.jobs if args.jobs > 0 else min(os.cpu_count() or 1, 64)
-    out = _out_path(args, ".out", ".knz")
-    if os.path.exists(out) and not args.force:
-        print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
-        return Error.ERR_OVERWRITE_FILE
-    bd = BlockDecompressor(jobs=jobs, verbosity=args.verbose,
-                           from_block=args.from_block, to_block=args.to_block)
-    t0 = time.time()
-    read, written = bd.decompress_file(args.input, out)
-    dt = time.time() - t0
-    if args.verbose > 0:
-        print(f"Decompressed {args.input}: {read} -> {written} bytes in "
-              f"{dt*1000:.0f} ms [{written/max(dt,1e-9)/1e6:.1f} MB/s]")
-    if args.rm:
-        os.remove(args.input)
+    inputs = _input_files(args)
+    if not inputs:
+        print("No input files found", file=sys.stderr)
+        return Error.ERR_OPEN_FILE
+    multi = len(inputs) > 1
+    out_dir = args.output if multi and args.output and os.path.isdir(args.output) else None
+    for path in inputs:
+        if multi:
+            base = os.path.basename(path)
+            base = base[:-4] if base.endswith(".knz") else base + ".out"
+            out = os.path.join(out_dir, base) if out_dir else (
+                path[:-4] if path.endswith(".knz") else path + ".out")
+        else:
+            out = _out_path(args, ".out", ".knz")
+        if os.path.exists(out) and not args.force:
+            print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
+            return Error.ERR_OVERWRITE_FILE
+        bd = BlockDecompressor(jobs=jobs, verbosity=args.verbose,
+                               from_block=args.from_block, to_block=args.to_block)
+        t0 = time.time()
+        read, written = bd.decompress_file(path, out)
+        dt = time.time() - t0
+        if args.verbose > 0:
+            print(f"Decompressed {path}: {read} -> {written} bytes in "
+                  f"{dt*1000:.0f} ms [{written/max(dt,1e-9)/1e6:.1f} MB/s]")
+        if args.rm:
+            os.remove(path)
     return 0
 
 
