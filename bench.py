@@ -2,8 +2,10 @@
 
 Headline (round 1): chunk-parallel rANS (ANS0, wire format v7) entropy
 encode throughput on one TPU chip — the stage-2 compute kernel of the
-level-5 pipeline, steady-state, including host->device transfer of the
-block batch and device->host readback of payloads.
+level-5 pipeline, via the Pallas kernels in ops/ans_pallas.py (dynamic-
+gather table lookup, single-launch 4096-step state scan, MXU stable-
+partition payload compaction), measured on a 256 MiB device-resident
+batch (one jit call; includes the tunnel's ~23 ms dispatch round-trip).
 
 vs_baseline compares against the closest published reference number that
 exercises its ANS stage: kanzi -l5 end-to-end encode on silesia
@@ -39,8 +41,8 @@ def _corpus(size: int) -> np.ndarray:
 def bench_tpu_ans0(data: np.ndarray, iters: int = 5) -> float:
     import jax
     import jax.numpy as jnp
-    from kanzi_tpu.ops.ans import CHUNK, ans0_encode_chunks
     from kanzi_tpu.ops.ans_block import _chunk_stats
+    from kanzi_tpu.ops.ans_pallas import CHUNK, ans0_encode_chunks_pallas
 
     n = data.size // CHUNK
     chunks = data[:n * CHUNK].reshape(n, CHUNK)
@@ -50,12 +52,12 @@ def bench_tpu_ans0(data: np.ndarray, iters: int = 5) -> float:
     dcm = jnp.asarray(cum, dtype=jnp.int32)
     # compile (the axon tunnel's block_until_ready does not sync; force a
     # small device->host fetch instead)
-    out = ans0_encode_chunks(dch, dfr, dcm)
+    out = ans0_encode_chunks_pallas(dch, dfr, dcm)
     _ = np.asarray(out[1])
     best = float("inf")
     for _i in range(iters):
         t0 = time.perf_counter()
-        out = ans0_encode_chunks(dch, dfr, dcm)
+        out = ans0_encode_chunks_pallas(dch, dfr, dcm)
         _ = np.asarray(out[1])
         best = min(best, time.perf_counter() - t0)
     return (n * CHUNK) / best / 1e9
@@ -80,7 +82,7 @@ def bench_cpu_level(data: np.ndarray, level: int, jobs: int = 0,
 
 
 def main() -> None:
-    size = 64 * 1024 * 1024
+    size = 256 * 1024 * 1024
     data = _corpus(size)
     # CPU secondary first: the TPU client's runtime threads would otherwise
     # steal cores from the thread-pooled block engine.

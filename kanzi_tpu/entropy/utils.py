@@ -139,6 +139,82 @@ def normalize_frequencies(freqs: np.ndarray, total_freq: int, scale: int) -> np.
     return np.array(alphabet, dtype=np.int32)
 
 
+def normalize_frequencies_batch(hist: np.ndarray, total_freq: int,
+                                scale: int) -> np.ndarray:
+    """Vectorized ``normalize_frequencies`` over a batch of histograms.
+
+    ``hist`` is (n, 256) with each row summing to ``total_freq`` (full
+    chunks); rows violating that are normalized with the scalar routine.
+    Returns the normalized (n, 256) int64 frequency matrix; alphabets are
+    recovered by the caller as ``np.nonzero(hist[i])``.  Bit-exact with the
+    scalar path (EntropyUtils.java:141-250): same half-up scaling, same
+    running first-argmax, same bounded 5-round error spreading in symbol
+    order with the ``freq > 2`` eligibility re-evaluated per round.
+    """
+    hist = np.asarray(hist, dtype=np.int64)
+    n = hist.shape[0]
+    freq = hist.copy()
+    if n == 0:
+        return freq
+    row_tot = hist.sum(axis=1)
+    irregular = np.flatnonzero(row_tot != total_freq)
+    for i in irregular:  # rare: delegate to the exact scalar routine
+        f = hist[i].copy()
+        normalize_frequencies(f, int(row_tot[i]) if row_tot[i] else total_freq, scale)
+        freq[i] = f
+    rows = np.flatnonzero(row_tot == total_freq)
+    if rows.size == 0 or total_freq == scale:
+        return freq
+    h = hist[rows]
+    nz = h > 0
+    asize = nz.sum(axis=1)
+    # scaling pass (the scalar early-break is a no-op when the row sums to
+    # total_freq exactly, which holds for every row handled here)
+    sf = h * scale
+    scaled = np.where(sf <= total_freq, 1, (sf + (total_freq >> 1)) // total_freq)
+    scaled = np.where(nz, scaled, 0)
+    f = scaled.copy()
+    idx_max = np.argmax(scaled, axis=1)  # first max, zeros never win vs >=1
+    sum_scaled = scaled.sum(axis=1)
+    ar = np.arange(len(rows))
+    # single-symbol rows: that symbol gets the whole scale
+    single = asize == 1
+    if single.any():
+        f[single] = 0
+        f[np.flatnonzero(single), idx_max[single]] = scale
+    active = (~single) & (sum_scaled != scale)
+    delta = sum_scaled - scale
+    err_thr = scaled[ar, idx_max] >> 4
+    small = active & (np.abs(delta) <= err_thr)
+    if small.any():
+        f[np.flatnonzero(small), idx_max[small]] -= delta[small]
+    big = active & ~small
+    if big.any():
+        neg = big & (delta < 0)
+        pos = big & (delta > 0)
+        f[np.flatnonzero(neg), idx_max[neg]] += err_thr[neg]
+        f[np.flatnonzero(pos), idx_max[pos]] -= err_thr[pos]
+        d = np.where(neg, delta + err_thr, np.where(pos, delta - err_thr, 0))
+        inc = np.where(d > 0, -1, 1).astype(np.int64)
+        d = np.abs(d)
+        live = big.copy()
+        for _ in range(5):  # rounds 1..5 (round_ >= 6 stops)
+            if not live.any():
+                break
+            elig = nz & (f > 2) & live[:, None]
+            cnt = np.cumsum(elig, axis=1)
+            adj = elig & (cnt <= d[:, None])
+            nadj = adj.sum(axis=1)
+            f += adj * inc[:, None]
+            d = d - np.minimum(nadj, d)
+            live = live & (d > 0) & (nadj > 0)
+        tgt = np.flatnonzero(big)
+        f[tgt, idx_max[big]] = np.maximum(f[tgt, idx_max[big]] - d[big], 1)
+    # rows with sum_scaled == scale keep their scaled values as-is
+    freq[rows] = f
+    return freq
+
+
 def write_varint(bw: BitWriter, value: int) -> int:
     """LSB-first 7-bit varint, unsigned 32-bit (EntropyUtils.java:259-277)."""
     value &= 0xFFFFFFFF

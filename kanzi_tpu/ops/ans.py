@@ -70,16 +70,17 @@ def ans0_encode_chunks(chunks: jax.Array, freq: jax.Array, cum: jax.Array):
                         preferred_element_type=jnp.float32)
     f_all = jnp.transpose(fc[..., 0].astype(jnp.int32).reshape(n, steps, 4), (1, 2, 0))
     c_all = jnp.transpose(fc[..., 1].astype(jnp.int32).reshape(n, steps, 4), (1, 2, 0))
-    rcp_all = 1.0 / f_all.astype(jnp.float32)
-    xs = (f_all, c_all, rcp_all)
+    xs = (f_all, c_all)
 
     def step(st, x):
-        f, cm, rcp = x                                    # (4, N) each
+        f, cm = x                                         # (4, N) each
         em = (st >> 19) >= f                              # st >= f << 19
         val = st & 0xFFFF
         st1 = jnp.where(em, st >> 16, st)
-        # exact st1 // f via f32 reciprocal + one correction step
-        q = (st1.astype(jnp.float32) * rcp).astype(jnp.int32)
+        # exact st1 // f: true f32 division (0.5 ulp) + one residual
+        # correction.  A pre-computed reciprocal multiply is NOT exact on
+        # TPU (approximate reciprocal) and corrupted streams.
+        q = (st1.astype(jnp.float32) / f.astype(jnp.float32)).astype(jnp.int32)
         r = st1 - q * f
         q = jnp.where(r < 0, q - 1, jnp.where(r >= f, q + 1, q))
         r = st1 - q * f

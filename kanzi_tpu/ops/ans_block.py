@@ -24,21 +24,27 @@ def _chunk_stats(chunks: np.ndarray):
     """(freq[N,256], cum[N,256], alphabet sizes) with exact reference
     normalization per chunk."""
     n = chunks.shape[0]
-    # vectorized 2D histogram
-    ids = (np.arange(n, dtype=np.int64)[:, None] * 256 + chunks.astype(np.int64))
-    hist = np.bincount(ids.ravel(), minlength=n * 256).reshape(n, 256)
-    freq = np.empty((n, 256), dtype=np.int64)
-    nsym = np.empty(n, dtype=np.int64)
-    alphabets = []
-    for i in range(n):
-        f = hist[i].copy()
-        alpha = eu.normalize_frequencies(f, CHUNK, 1 << jans.LOG_RANGE)
-        freq[i] = f
-        nsym[i] = len(alpha)
-        alphabets.append(alpha)
+    # per-row histograms; a row loop beats one big offset-id bincount here
+    # because it avoids a (n, CHUNK) temporary (slow first-touch on this host)
+    hist = np.stack([np.bincount(r, minlength=256) for r in chunks])
+    freq = eu.normalize_frequencies_batch(hist, CHUNK, 1 << jans.LOG_RANGE)
+    nz = hist > 0
+    nsym = nz.sum(axis=1)
+    alphabets = [np.flatnonzero(nz[i]).astype(np.int32) for i in range(n)]
     cum = np.concatenate([np.zeros((n, 1), dtype=np.int64),
                           np.cumsum(freq, axis=1)[:, :-1]], axis=1)
     return freq, cum, nsym, alphabets
+
+
+def _encode_kernel():
+    """Kernel selection: the Pallas path on TPU (exact division in-kernel);
+    the XLA lax.scan path elsewhere (CPU mesh, tests).  XLA's f32 divide is
+    lowered to an approximate reciprocal on TPU and is NOT exact there."""
+    import jax
+    if jax.default_backend() == "tpu":
+        from .ans_pallas import ans0_encode_chunks_pallas
+        return ans0_encode_chunks_pallas
+    return jans.ans0_encode_chunks
 
 
 def ans0_encode(block: np.ndarray, bw: BitWriter) -> int:
@@ -56,7 +62,7 @@ def ans0_encode(block: np.ndarray, bw: BitWriter) -> int:
         freq, cum, nsym, alphabets = _chunk_stats(chunks)
         sel = np.flatnonzero(nsym > 1)
         if sel.size:
-            payload, n_emit, states = jans.ans0_encode_chunks(
+            payload, n_emit, states = _encode_kernel()(
                 jnp.asarray(chunks[sel]), jnp.asarray(freq[sel], dtype=jnp.int32),
                 jnp.asarray(cum[sel], dtype=jnp.int32))
             payload = np.asarray(payload)

@@ -1,0 +1,295 @@
+"""Pallas TPU kernels for the 4-state interleaved rANS coder (order 0).
+
+Wire behavior identical to ops/ans.py (and the numpy coder entropy/ans.py):
+4 interleaved states per 16 KiB chunk, logRange 12, 16-bit renormalization
+(ANSRangeEncoder.java:337-407 semantics) — but engineered for the TPU:
+
+  * symbol->(freq,cum) lookup: per-chunk 256-entry tables live in VMEM and
+    are read with `tpu.dynamic_gather` (jnp.take_along_axis on equal-shape
+    2D operands), 8 chunks x 128 lookups per instruction — no one-hot
+    matmul, no XLA gather.
+  * the sequential 4096-step state scan runs inside ONE kernel launch as a
+    fori_loop over VMEM-resident tiles (states held in VMEM scratch across
+    the grid), instead of a lax.scan that dispatches 4096 tiny HLO ops.
+  * emissions are packed (flag<<16 | value) and compacted to the chunk-major
+    forward payload order with a single-array u32 radix sort (XLA sort).
+
+Layouts:
+  lookup kernel: chunk-major (N, C); one grid cell = 8 chunks.
+  scan kernel:   step-major (S, R, 128) where R*128 = 4*N flat state lanes,
+                 flat index e = k*N + n (state k, chunk n), rows pre-reversed
+                 so the kernel walks the stream back-to-front as rANS must.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ANS_TOP = 1 << 15
+LOG_RANGE = 12
+SCALE = 1 << LOG_RANGE
+CHUNK = 16384
+
+
+# ---------------------------------------------------------------------------
+# kernel 1: packed (freq | cum<<12) per-position lookup, 8 chunks per cell
+# ---------------------------------------------------------------------------
+
+def _lookup_kernel(syms_ref, tbl_ref, out_ref):
+    t_lo = tbl_ref[:, :128]
+    t_hi = tbl_ref[:, 128:]
+    c = syms_ref.shape[1]
+    for j in range(c // 128):
+        ix = syms_ref[:, j * 128:(j + 1) * 128]
+        ixm = jnp.bitwise_and(ix, 127)
+        lo = jnp.take_along_axis(t_lo, ixm, axis=1)
+        hi = jnp.take_along_axis(t_hi, ixm, axis=1)
+        out_ref[:, j * 128:(j + 1) * 128] = jnp.where(ix < 128, lo, hi)
+
+
+def _lookup(syms_i32: jax.Array, tables: jax.Array) -> jax.Array:
+    """syms (N, C) int32 in [0,256), tables (N, 256) int32 -> (N, C) int32."""
+    n, c = syms_i32.shape
+    return pl.pallas_call(
+        _lookup_kernel,
+        grid=(n // 8,),
+        in_specs=[
+            pl.BlockSpec((8, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c), jnp.int32),
+    )(syms_i32, tables)
+
+
+# ---------------------------------------------------------------------------
+# kernel 2: the sequential rANS state scan, all lanes in lockstep
+# ---------------------------------------------------------------------------
+
+def _scan_kernel(lk_ref, emit_ref, st_out_ref, st_ref):
+    sb = lk_ref.shape[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        st_ref[:] = jnp.full_like(st_ref, ANS_TOP)
+
+    def body(i, _):
+        lk = lk_ref[i]                         # (R, 128) packed f | cum<<12
+        f = jnp.bitwise_and(lk, SCALE - 1)
+        cm = jnp.right_shift(lk, LOG_RANGE)
+        st = st_ref[:]
+        em = jnp.right_shift(st, 19) >= f      # st >= f << 19
+        val = jnp.bitwise_and(st, 0xFFFF)
+        st1 = jnp.where(em, jnp.right_shift(st, 16), st)
+        # exact st1 // f: f32 estimate + one residual correction
+        q = (st1.astype(jnp.float32) / f.astype(jnp.float32)).astype(jnp.int32)
+        r = st1 - q * f
+        q = q + jnp.where(r < 0, -1, 0) + jnp.where(r >= f, 1, 0)
+        r = st1 - q * f
+        st_ref[:] = jnp.left_shift(q, LOG_RANGE) + r + cm
+        emit_ref[i] = jnp.where(em, jnp.bitwise_or(jnp.left_shift(em.astype(jnp.int32), 16), val), 0)
+        return 0
+
+    jax.lax.fori_loop(0, sb, body, 0)
+    st_out_ref[:] = st_ref[:]
+
+
+def _scan(lk: jax.Array, step_block: int = 128, lane_block: int = 16):
+    """lk (S, R, 128) int32 -> emit (S, R, 128) int32, states (R, 128).
+
+    Grid = (lane tiles, step blocks); steps iterate fastest so the per-tile
+    states persist in VMEM scratch across the sequential walk.
+    """
+    s, r, _ = lk.shape
+    rb = min(lane_block, r)
+    emit, st = pl.pallas_call(
+        _scan_kernel,
+        grid=(r // rb, s // step_block),
+        in_specs=[pl.BlockSpec((step_block, rb, 128), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((step_block, rb, 128), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, r, 128), jnp.int32),
+            jax.ShapeDtypeStruct((r, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rb, 128), jnp.int32)],
+    )(lk)
+    return emit, st
+
+
+# ---------------------------------------------------------------------------
+# kernel 3: stable partition (payload compaction) — replaces an XLA sort
+# ---------------------------------------------------------------------------
+#
+# Per 16 KiB chunk, viewed as 128 blocks x 128 lanes of (flag<<16 | value):
+#   1. in-block positions: pos = flag @ upper-triangular ones (MXU, exact)
+#   2. per-block counts c and exclusive block offsets O (second small matmul)
+#   3. gather table g[b, j] = index of the (j+1)-th flagged lane of block b,
+#      found by 7-step binary search (each probe one lane-direction
+#      tpu.dynamic_gather over the sorted pos row)
+#   4. in-block compact: one gather with g
+#   5. per-block rotate to the global lane offset O&127: one gather
+#   6. tile placement: rows t0 = O>>7 and t0+1 selected by 0/1 matrices,
+#      two batched MXU matmuls accumulate the disjoint contributions
+# All gathers are lane-direction on (rows, 128) operands — the only gather
+# form Mosaic supports — and every value fits exactly in f32.
+
+def _compact_kernel(e_ref, out_ref, cnt_ref):
+    ch = e_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ch * 128, 128), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    triu = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            ).astype(jnp.float32)
+    tril_strict = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                   < jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+                   ).astype(jnp.float32)
+
+    t = e_ref[:].reshape(ch * 128, 128)
+    flag = jnp.right_shift(t, 16)
+    val = jnp.bitwise_and(t, 0xFFFF)
+    # 1. inclusive in-block cumsum of flags (values <= 128: exact in f32)
+    pos = jnp.dot(flag.astype(jnp.float32), triu,
+                  preferred_element_type=jnp.float32).astype(jnp.int32)
+    # 2. counts (lane-reduce) and exclusive offsets across each chunk's
+    #    128 blocks, both in (ch, 128)-lane layout
+    c = jnp.sum(flag.reshape(ch, 128, 128), axis=2)           # (ch, 128)
+    off = jnp.dot(c.astype(jnp.float32), tril_strict,
+                  preferred_element_type=jnp.float32).astype(jnp.int32)
+    cnt_ref[:] = c
+    # 3. g[b, j] = #{k: pos[b, k] <= j} via binary search (pos sorted)
+    j = lane
+    g = jnp.zeros_like(j)
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        probe = g + step
+        pv = jnp.take_along_axis(pos, probe - 1, axis=1)
+        g = jnp.where(pv <= j, probe, g)
+    # 4. in-block compaction (lanes >= c_b are garbage, masked in step 5)
+    comp = jnp.take_along_axis(val, jnp.minimum(g, 127), axis=1)
+    # 5. rotate each block right by r = off & 127.  Per-row scalars are
+    #    fetched from the (ch, 128) lane layout by repeating each chunk row
+    #    128x and gathering lane b (the row's block id) — no cross-layout
+    #    reshape needed.
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ch * 128, 128), 0)
+    bid = jnp.bitwise_and(row_iota, 127)                      # row's block id
+    # replicate each chunk's (128,) offset/count rows to its 128 block rows
+    # with a 0/1 row-select matmul (pltpu.repeat tiles, it does not repeat
+    # elementwise); values <= 16384 need the exact bf16x3 path
+    sel = (jnp.right_shift(row_iota[:, :ch], 7)
+           == jax.lax.broadcasted_iota(jnp.int32, (ch * 128, ch), 1)
+           ).astype(jnp.float32)                              # (ch*128, ch)
+    off_rows = jnp.dot(sel, off.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    c_rows = jnp.dot(sel, c.astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    r_fl = jnp.bitwise_and(jnp.take_along_axis(off_rows, bid, axis=1), 127)
+    cb = jnp.take_along_axis(c_rows, bid, axis=1)
+    src = jnp.bitwise_and(lane - r_fl, 127)
+    rolled = jnp.take_along_axis(comp, src, axis=1)
+    valid = src < cb
+    mask_a = valid & (lane >= r_fl)                           # stays in t0
+    mask_b = valid & (lane < r_fl)                            # spills to t0+1
+    part_a = (rolled * mask_a).astype(jnp.float32).reshape(ch, 128, 128)
+    part_b = (rolled * mask_b).astype(jnp.float32).reshape(ch, 128, 128)
+    # 6. place blocks into their destination 128-lane output tiles
+    t0 = jnp.right_shift(off, 7)                              # (ch, 128)
+    ra = (sub[None] == t0[:, None, :]).astype(jnp.float32)    # (ch, t, b)
+    rb = (sub[None] == (t0 + 1)[:, None, :]).astype(jnp.float32)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    # HIGHEST precision: the MXU's default bf16 pass would round the 16-bit
+    # payload values; bf16x3 recovers exact f32 products for 0/1 x u16
+    out = (jax.lax.dot_general(ra, part_a, dn,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+           + jax.lax.dot_general(rb, part_b, dn,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST))
+    out_ref[:] = out.astype(jnp.int32)
+
+
+def _compact(e: jax.Array, chunks_per_cell: int = 8):
+    """e (N, 128, 128) int32 (flag<<16|val) -> payload (N, 128, 128) int32
+    (flagged values stably compacted per chunk), counts (N, 128) int32."""
+    n = e.shape[0]
+    ch = min(chunks_per_cell, n)
+    payload, cnt = pl.pallas_call(
+        _compact_kernel,
+        grid=(n // ch,),
+        in_specs=[pl.BlockSpec((ch, 128, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((ch, 128, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n, 128), jnp.int32),
+        ],
+    )(e)
+    return payload, cnt
+
+
+# ---------------------------------------------------------------------------
+# end-to-end encode: same contract as ops/ans.py ans0_encode_chunks
+# ---------------------------------------------------------------------------
+
+def _pad_rows(n: int) -> int:
+    """Smallest valid lane-tile row count >= n (multiple of 32, and of 512
+    once several lane tiles are needed, so tiles divide evenly)."""
+    m = (n + 31) & ~31
+    return m if m <= 512 else (n + 511) & ~511
+
+
+@jax.jit
+def ans0_encode_chunks_pallas(chunks: jax.Array, freq: jax.Array,
+                              cum: jax.Array):
+    """Encode (N, C) uint8 chunks; returns (payload_u16 (N, C), n_emit (N),
+    states (N, 4)) — bit-identical to ops/ans.py ans0_encode_chunks."""
+    n0, c = chunks.shape
+    npad = _pad_rows(n0)
+    if npad != n0:
+        pad = ((0, npad - n0), (0, 0))
+        chunks = jnp.pad(chunks, pad, mode="edge")
+        freq = jnp.pad(freq, pad, mode="edge")
+        cum = jnp.pad(cum, pad, mode="edge")
+    n = npad
+    s = c // 4
+    freq_cap = jnp.minimum(freq, SCALE - 1)
+    tables = jnp.bitwise_or(freq_cap, jnp.left_shift(cum, LOG_RANGE)).astype(jnp.int32)
+    packed = _lookup(chunks.astype(jnp.int32), tables)        # (N, C)
+
+    # scan layout: row s of the kernel walks original step (S-1-s) with lane
+    # order st3..st0; flat lane e = k*N + n; fold to (S, R, 128)
+    x = packed.reshape(n, s, 4)[:, ::-1, ::-1]                # (N, S, 4)
+    lk = x.transpose(1, 2, 0).reshape(s, (4 * n) // 128, 128)
+    emit, st = _scan(lk)
+
+    # states: scan lane k (flat e = k*N + n) is output state column k
+    states = st.reshape(4, n).T.astype(jnp.int32)
+
+    # payload forward order per chunk: reverse the scan rows back, lanes
+    # st3..st0 within each original step reversed to match the numpy coder:
+    # flags/vals come out of the scan as [s_rev, k_rev, n]; forward order is
+    # chunks-major (n, s_fwd, k_fwd) = double reversal, same as ops/ans.py
+    e = emit.reshape(s, 4, n).transpose(2, 0, 1)[:, ::-1, ::-1]  # (N, S, 4)
+    pay_i32, cnt = _compact(e.reshape(n, 128, c // 128))
+    payload = pay_i32.reshape(n, c).astype(jnp.uint16)
+    n_emit = jnp.sum(cnt, axis=1)
+    return payload[:n0], n_emit[:n0], states[:n0]

@@ -1,0 +1,145 @@
+"""Tests for the Pallas rANS kernels (ops/ans_pallas.py) and the batched
+frequency normalization.
+
+The Pallas kernels need a real TPU (Mosaic does not target CPU), so those
+tests are skipped under the CPU test mesh; the numpy-vs-scalar normalization
+equivalence and the exact-integer oracle construction run everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kanzi_tpu.entropy.utils import (normalize_frequencies,
+                                     normalize_frequencies_batch)
+
+CHUNK = 16384
+SCALE = 4096
+
+
+def _random_hists(n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    hists = []
+    for _ in range(n):
+        k = int(rng.integers(1, 257))
+        syms = rng.choice(256, k, replace=False)
+        w = rng.pareto(rng.uniform(0.2, 3.0), k) + 1e-9
+        h = np.zeros(256, np.int64)
+        h[syms] = 1 + rng.multinomial(CHUNK - k, w / w.sum())
+        hists.append(h)
+    return np.array(hists)
+
+
+def test_normalize_batch_matches_scalar():
+    hists = _random_hists(500)
+    batch = normalize_frequencies_batch(hists, CHUNK, SCALE)
+    for i in range(len(hists)):
+        f = hists[i].copy()
+        normalize_frequencies(f, CHUNK, SCALE)
+        assert np.array_equal(f, batch[i]), f"row {i}"
+
+
+def test_normalize_batch_irregular_rows():
+    hists = _random_hists(8, seed=3)
+    hists[:, 11] += 5  # break the row-sum invariant -> scalar fallback
+    batch = normalize_frequencies_batch(hists, CHUNK, SCALE)
+    for i in range(len(hists)):
+        f = hists[i].copy()
+        normalize_frequencies(f, int(hists[i].sum()), SCALE)
+        assert np.array_equal(f, batch[i])
+
+
+def _ans0_oracle(chunks: np.ndarray, freq: np.ndarray, cum: np.ndarray):
+    """Exact-integer reference of the 4-state interleaved rANS scan
+    (ANSRangeEncoder.java:337-407 semantics)."""
+    n, c = chunks.shape
+    s = c // 4
+    fcap = np.minimum(freq, SCALE - 1).astype(np.int64)
+    g = chunks.reshape(n, s, 4).astype(np.int64)
+    syms = g[:, ::-1, ::-1]
+    st = np.full((4, n), 1 << 15, np.int64)
+    flags = np.zeros((s, 4, n), bool)
+    vals = np.zeros((s, 4, n), np.int64)
+    rows = np.arange(n)[None, :]
+    for i in range(s):
+        sym = syms[:, i, :].T
+        f = fcap[rows, sym]
+        cm = cum[rows, sym].astype(np.int64)
+        em = (st >> 19) >= f
+        vals[i] = st & 0xFFFF
+        flags[i] = em
+        st1 = np.where(em, st >> 16, st)
+        q = st1 // f
+        st = (q << 12) + (st1 - q * f) + cm
+    flags_f = flags.transpose(2, 0, 1)[:, ::-1, ::-1].reshape(n, -1)
+    vals_f = vals.transpose(2, 0, 1)[:, ::-1, ::-1].reshape(n, -1)
+    n_emit = flags_f.sum(1)
+    pay = np.zeros((n, c), np.uint16)
+    for i in range(n):
+        pay[i, :n_emit[i]] = vals_f[i][flags_f[i]].astype(np.uint16)
+    return pay, n_emit, st.T
+
+
+def _on_tpu() -> bool:
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
+@pytest.mark.parametrize("n", [32, 45])
+def test_pallas_encode_matches_oracle(n):
+    import jax.numpy as jnp
+    from kanzi_tpu.ops.ans_block import _chunk_stats
+    from kanzi_tpu.ops.ans_pallas import ans0_encode_chunks_pallas
+
+    rng = np.random.default_rng(7)
+    # zipf-ish data exercises emits at varying densities
+    chunks = (rng.zipf(1.3, (n, CHUNK)) % 200).astype(np.uint8)
+    freq, cum, nsym, _ = _chunk_stats(chunks)
+    po, no, so = _ans0_oracle(chunks, freq, cum)
+    p, ne, st = ans0_encode_chunks_pallas(
+        jnp.asarray(chunks), jnp.asarray(freq, jnp.int32),
+        jnp.asarray(cum, jnp.int32))
+    p, ne, st = np.asarray(p), np.asarray(ne), np.asarray(st)
+    assert np.array_equal(ne, no)
+    assert np.array_equal(st.astype(np.int64), so)
+    for i in range(n):
+        assert np.array_equal(p[i, :no[i]], po[i, :no[i]])
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
+def test_pallas_compact_all_rates():
+    import jax.numpy as jnp
+    from kanzi_tpu.ops.ans_pallas import _compact
+
+    rng = np.random.default_rng(0)
+    n = 16
+    for rate in (0.0, 0.25, 0.75, 1.0):
+        flag = (rng.random((n, CHUNK)) < rate).astype(np.int32)
+        val = rng.integers(0, 65536, (n, CHUNK)).astype(np.int32)
+        pay, cnt = _compact(jnp.asarray(((flag << 16) | val)
+                                        .reshape(n, 128, 128)))
+        pay = np.asarray(pay).reshape(n, CHUNK)
+        assert np.array_equal(np.asarray(cnt).sum(1), flag.sum(1))
+        for i in range(n):
+            want = val[i][flag[i] == 1]
+            assert np.array_equal(pay[i, :want.size], want)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
+def test_pallas_wire_round_trip():
+    from kanzi_tpu.core.bits import BitReader, BitWriter
+    from kanzi_tpu.entropy.ans import ANSRangeDecoder
+    from kanzi_tpu.ops.ans_block import ans0_encode
+
+    rng = np.random.default_rng(1)
+    data = (rng.zipf(1.5, 40 * CHUNK + 333) % 251).astype(np.uint8)
+    bw = BitWriter()
+    ans0_encode(data.copy(), bw)
+    br = BitReader(bw.getvalue())
+    out = ANSRangeDecoder(br, 0).decode(len(data))
+    assert np.array_equal(np.asarray(out, np.uint8), data)
