@@ -121,7 +121,12 @@ def ans0_decode(count: int, br: BitReader) -> np.ndarray:
             states[k] = m[2]
         cum = np.concatenate([np.zeros((len(full), 1), dtype=np.int64),
                               np.cumsum(freq, axis=1)[:, :-1]], axis=1)
-        res, consumed = jans.ans0_decode_chunks(
+        import jax
+        if jax.default_backend() == "tpu":
+            from .ans_pallas import ans0_decode_chunks_pallas as _dec
+        else:
+            _dec = jans.ans0_decode_chunks
+        res, consumed = _dec(
             jnp.asarray(pay), jnp.asarray(states, dtype=jnp.int32),
             jnp.asarray(freq, dtype=jnp.int32), jnp.asarray(cum, dtype=jnp.int32))
         res = np.asarray(res)

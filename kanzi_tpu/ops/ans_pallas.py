@@ -247,8 +247,161 @@ def _compact(e: jax.Array, chunks_per_cell: int = 8):
 
 
 # ---------------------------------------------------------------------------
-# end-to-end encode: same contract as ops/ans.py ans0_encode_chunks
+# kernel 4: rANS decode — 32 chunks per cell, one chunk per sublane row
 # ---------------------------------------------------------------------------
+#
+# Decode is bit-serial per chunk (the next slot depends on the renormalized
+# state), so the kernel walks the 4096 steps sequentially with 32 chunks in
+# lockstep (rows).  Per-chunk 256-entry tables live in that chunk's 128-lane
+# row (two operand halves), looked up with lane-direction dynamic_gather:
+#   * symbol: 8-step binary search over the inclusive bounds (cum+freq)
+#   * freq/cum: one gather into the packed (f | cum<<12) table
+# Payload bytes stream through a 256-byte tile-aligned VMEM window per
+# chunk, refilled every 16 steps by scalar-indexed row copies (a chunk
+# consumes at most 8 bytes per step).
+
+_DEC_ROWS = 32           # chunks per grid cell
+_DEC_PAY_ROWS = 130      # 33 KiB of payload per chunk as 16-bit words
+
+
+def _decode_kernel(tlo_ref, thi_ref, bnd_ref, st0_ref, pay_ref,
+                   out_ref, used_ref,
+                   st_scr, w0, w1, base_scr, ptr_scr, sym_scr):
+    rows = _DEC_ROWS
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+    st_scr[:] = st0_ref[:]
+    ptr_scr[:] = jnp.zeros((rows, 128), jnp.int32)
+    tlo = tlo_ref[:]
+    thi = thi_ref[:]
+    bnd = bnd_ref[:]          # bounds packed two 16-bit entries per word
+
+    def gather2(lo, hi, idx):
+        g_lo = jnp.take_along_axis(lo, jnp.bitwise_and(idx, 127), axis=1)
+        g_hi = jnp.take_along_axis(hi, jnp.bitwise_and(idx, 127), axis=1)
+        return jnp.where(idx < 128, g_lo, g_hi)
+
+    def outer(o, _):
+        # ---- refill the per-chunk payload word windows (tile-aligned) ----
+        base_scr[:] = jnp.left_shift(jnp.right_shift(ptr_scr[:], 8), 8)
+        for q in range(rows):
+            row = jnp.right_shift(base_scr[q, 0], 8)
+            w0[q, :] = pay_ref[q, pl.ds(row, 1), :][0]
+            w1[q, :] = pay_ref[q, pl.ds(row + 1, 1), :][0]
+        base = base_scr[:]                                  # (rows,128)
+
+        def inner(j, _):
+            st = st_scr[:]
+            slot = jnp.bitwise_and(st, SCALE - 1)
+            # symbol = #{s: bounds[s] <= slot}; binary search over the
+            # 2-packed bounds: one gather per probe
+            g = jnp.zeros((rows, 128), jnp.int32)
+            for step in (128, 64, 32, 16, 8, 4, 2, 1):
+                probe = g + step
+                idx = probe - 1
+                w = jnp.take_along_axis(bnd, jnp.right_shift(idx, 1), axis=1)
+                pv = jnp.bitwise_and(
+                    jnp.right_shift(w, jnp.left_shift(
+                        jnp.bitwise_and(idx, 1), 4)), 0xFFFF)
+                g = jnp.where(pv <= slot, probe, g)
+            lk = gather2(tlo, thi, g)
+            f = jnp.bitwise_and(lk, SCALE - 1)
+            cm = jnp.right_shift(lk, LOG_RANGE)
+            st1 = f * jnp.right_shift(st, LOG_RANGE) + slot - cm
+            need = ((st1 < ANS_TOP) & (lane < 4)).astype(jnp.int32)
+            # suffix-exclusive word offsets: lane 3 consumes first
+            e = (pltpu.roll(need, 127, 1) + pltpu.roll(need, 126, 1)
+                 + pltpu.roll(need, 125, 1))
+            e = jnp.where(lane < 4, e, 0)
+            # word-granular fetch: ptr counts bytes but is always even
+            local = jnp.right_shift(ptr_scr[:] - base, 1) + e
+            rd = gather2(w0[:], w1[:], local)
+            st2 = jnp.where(need == 1,
+                            jnp.bitwise_or(jnp.left_shift(st1, 16), rd), st1)
+            st_scr[:] = st2
+            tot = jnp.take_along_axis(e + need,
+                                      jnp.zeros((rows, 128), jnp.int32), axis=1)
+            ptr_scr[:] = ptr_scr[:] + 2 * tot
+            # chunk byte 4*step + i comes from state 3-i
+            srep = jnp.take_along_axis(g, 3 - jnp.bitwise_and(lane, 3), axis=1)
+            s16 = jnp.bitwise_and(o * 16 + j, 31)           # step within tile
+            sym_scr[:] = jnp.where(jnp.right_shift(lane, 2) == s16,
+                                   srep, sym_scr[:])
+            return 0
+
+        jax.lax.fori_loop(0, 16, inner, 0, unroll=16)
+
+        @pl.when(jnp.bitwise_and(o, 1) == 1)
+        def _():
+            t = jnp.right_shift(o, 1)
+            out_ref[:, pl.ds(t * 128, 128)] = sym_scr[:]
+        return 0
+
+    jax.lax.fori_loop(0, 256, outer, 0)
+    used_ref[:] = ptr_scr[:]
+
+
+def _decode(tlo, thi, bnd, st0, pay):
+    """All args row-padded to N % 32 == 0.  pay is (N, 130, 128) int32
+    big-endian 16-bit words.  Returns out (N, 16384) int32 symbols and
+    used (N, 128) byte counts."""
+    n = tlo.shape[0]
+    r = _DEC_ROWS
+    return pl.pallas_call(
+        _decode_kernel,
+        grid=(n // r,),
+        in_specs=[pl.BlockSpec((r, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((r, _DEC_PAY_ROWS, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((r, CHUNK), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, CHUNK), jnp.int32),
+            jax.ShapeDtypeStruct((n, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, 128), jnp.int32),   # states
+            pltpu.VMEM((r, 128), jnp.int32),   # window tile 0
+            pltpu.VMEM((r, 128), jnp.int32),   # window tile 1
+            pltpu.VMEM((r, 128), jnp.int32),   # window base offsets
+            pltpu.VMEM((r, 128), jnp.int32),   # byte pointers
+            pltpu.VMEM((r, 128), jnp.int32),   # symbol accumulation tile
+        ],
+    )(tlo, thi, bnd, st0, pay)
+
+
+@jax.jit
+def ans0_decode_chunks_pallas(payload: jax.Array, states: jax.Array,
+                              freq: jax.Array, cum: jax.Array):
+    """Decode full 16 KiB chunks.  payload (N, P) uint8 renorm byte pairs,
+    states (N, 4) int32, freq/cum (N, 256) int32.  Returns (out (N, 16384)
+    uint8, consumed (N) int32) — semantics of ops/ans.py ans0_decode_chunks."""
+    n0, p = payload.shape
+    npad = _pad_rows(max(n0, _DEC_ROWS))
+    npad = ((npad + _DEC_ROWS - 1) // _DEC_ROWS) * _DEC_ROWS
+    maxb = _DEC_PAY_ROWS * 256
+    payb = jnp.zeros((npad, maxb), jnp.uint8)
+    payb = jax.lax.dynamic_update_slice(payb, payload[:, :maxb], (0, 0))
+    payb = payb.astype(jnp.int32).reshape(npad, maxb // 2, 2)
+    pay = jnp.left_shift(payb[:, :, 0], 8) | payb[:, :, 1]   # big-endian words
+    pay = pay.reshape(npad, _DEC_PAY_ROWS, 128)
+    if npad != n0:
+        pad = ((0, npad - n0), (0, 0))
+        freq = jnp.pad(freq, pad, mode="edge")
+        cum = jnp.pad(cum, pad, mode="edge")
+        states = jnp.pad(states, pad, mode="edge")
+    freq_cap = jnp.minimum(freq, SCALE - 1)
+    tbl = jnp.bitwise_or(freq_cap, jnp.left_shift(cum, LOG_RANGE)).astype(jnp.int32)
+    bounds = (cum + freq_cap).astype(jnp.int32)              # 13-bit values
+    bnd = jnp.bitwise_or(bounds[:, 0::2],
+                         jnp.left_shift(bounds[:, 1::2], 16)).astype(jnp.int32)
+    st0 = jnp.pad(states.astype(jnp.int32), ((0, 0), (0, 124)))
+    out, used = _decode(tbl[:, :128], tbl[:, 128:], bnd, st0, pay)
+    return out[:n0].astype(jnp.uint8), used[:n0, 0]
 
 def _pad_rows(n: int) -> int:
     """Smallest valid lane-tile row count >= n (multiple of 32, and of 512

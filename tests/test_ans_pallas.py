@@ -131,6 +131,32 @@ def test_pallas_compact_all_rates():
 
 
 @pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
+def test_pallas_decode_inverts_encode():
+    import jax.numpy as jnp
+    from kanzi_tpu.ops.ans_block import _chunk_stats
+    from kanzi_tpu.ops.ans_pallas import (ans0_decode_chunks_pallas,
+                                          ans0_encode_chunks_pallas)
+
+    rng = np.random.default_rng(5)
+    n = 48
+    chunks = (rng.zipf(1.4, (n, CHUNK)) % 230).astype(np.uint8)
+    freq, cum, nsym, _ = _chunk_stats(chunks)
+    p, ne, st = ans0_encode_chunks_pallas(
+        jnp.asarray(chunks), jnp.asarray(freq, jnp.int32),
+        jnp.asarray(cum, jnp.int32))
+    p, ne, st = np.asarray(p), np.asarray(ne), np.asarray(st)
+    maxb = ((int(ne.max()) * 2 + 130) // 128 + 2) * 128
+    pay = np.zeros((n, maxb), np.uint8)
+    for i in range(n):
+        pay[i, :ne[i] * 2] = p[i, :ne[i]].astype(">u2").view(np.uint8)
+    out, used = ans0_decode_chunks_pallas(
+        jnp.asarray(pay), jnp.asarray(st, jnp.int32),
+        jnp.asarray(freq, jnp.int32), jnp.asarray(cum, jnp.int32))
+    assert np.array_equal(np.asarray(out), chunks)
+    assert np.array_equal(np.asarray(used), ne * 2)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
 def test_pallas_wire_round_trip():
     from kanzi_tpu.core.bits import BitReader, BitWriter
     from kanzi_tpu.entropy.ans import ANSRangeDecoder
