@@ -39,26 +39,20 @@ def _corpus(size: int) -> np.ndarray:
 
 
 def bench_tpu_ans0(data: np.ndarray, iters: int = 5) -> float:
-    import jax
     import jax.numpy as jnp
-    from kanzi_tpu.ops.ans_block import _chunk_stats
-    from kanzi_tpu.ops.ans_pallas import CHUNK, ans0_encode_chunks_pallas
+    from kanzi_tpu.ops.ans_pallas import CHUNK, ans0_encode_device
 
     n = data.size // CHUNK
-    chunks = data[:n * CHUNK].reshape(n, CHUNK)
-    freq, cum, nsym, _ = _chunk_stats(chunks)
-    dch = jnp.asarray(chunks)
-    dfr = jnp.asarray(freq, dtype=jnp.int32)
-    dcm = jnp.asarray(cum, dtype=jnp.int32)
+    dch = jnp.asarray(data[:n * CHUNK].reshape(n, CHUNK))
     # compile (the axon tunnel's block_until_ready does not sync; force a
     # small device->host fetch instead)
-    out = ans0_encode_chunks_pallas(dch, dfr, dcm)
-    _ = np.asarray(out[1])
+    out = ans0_encode_device(dch)
+    _ = np.asarray(out[2][:2])
     best = float("inf")
     for _i in range(iters):
         t0 = time.perf_counter()
-        out = ans0_encode_chunks_pallas(dch, dfr, dcm)
-        _ = np.asarray(out[1])
+        out = ans0_encode_device(dch)
+        _ = np.asarray(out[2][:2])
         best = min(best, time.perf_counter() - t0)
     return (n * CHUNK) / best / 1e9
 

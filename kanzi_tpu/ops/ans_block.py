@@ -58,29 +58,50 @@ def ans0_encode(block: np.ndarray, bw: BitWriter) -> int:
     nfull = count // CHUNK
     tail = count - nfull * CHUNK
     if nfull > 0:
+        import jax
         chunks = block[:nfull * CHUNK].reshape(nfull, CHUNK)
-        freq, cum, nsym, alphabets = _chunk_stats(chunks)
-        sel = np.flatnonzero(nsym > 1)
-        if sel.size:
-            payload, n_emit, states = _encode_kernel()(
-                jnp.asarray(chunks[sel]), jnp.asarray(freq[sel], dtype=jnp.int32),
-                jnp.asarray(cum[sel], dtype=jnp.int32))
-            payload = np.asarray(payload)
-            n_emit = np.asarray(n_emit)
-            states = np.asarray(states)
-        k = 0
+        if jax.default_backend() == "tpu":
+            # fully device-resident: histogram + normalization + scan + pack
+            from .ans_pallas import ans0_encode_device
+            freq_d, pay_d, ne_d, st_d = ans0_encode_device(jnp.asarray(chunks))
+            freq = np.asarray(freq_d).astype(np.int64)
+            n_emit = np.asarray(ne_d)
+            states = np.asarray(st_d)
+            nz = freq > 0
+            nsym = nz.sum(axis=1)
+            alphabets = [np.flatnonzero(nz[i]).astype(np.int32)
+                         for i in range(nfull)]
+            # fetch only the populated payload prefix (bucketed width to
+            # bound recompiles)
+            mw = int(n_emit.max(initial=0))
+            mw = 1 << max(mw - 1, 1).bit_length()
+            payload = np.asarray(pay_d[:, :min(mw, CHUNK)])
+            rowmap = np.arange(nfull)
+        else:
+            freq, cum, nsym, alphabets = _chunk_stats(chunks)
+            sel = np.flatnonzero(nsym > 1)
+            rowmap = np.full(nfull, -1)
+            rowmap[sel] = np.arange(sel.size)
+            if sel.size:
+                payload, n_emit, states = _encode_kernel()(
+                    jnp.asarray(chunks[sel]),
+                    jnp.asarray(freq[sel], dtype=jnp.int32),
+                    jnp.asarray(cum[sel], dtype=jnp.int32))
+                payload = np.asarray(payload)
+                n_emit = np.asarray(n_emit)
+                states = np.asarray(states)
         for i in range(nfull):
             bw.write_bits(jans.LOG_RANGE - 8, 3)
             hans._write_freqs_header(bw, alphabets[i], freq[i], jans.LOG_RANGE)
             if nsym[i] <= 1:
                 continue  # skipped chunk (single symbol)
+            k = rowmap[i]
             ne = int(n_emit[k])
             pay = payload[k, :ne].astype(">u2").tobytes()
             eu.write_varint(bw, len(pay))
             for j in range(4):
                 bw.write_bits(int(states[k, j]), 32)
             bw.write_bytes(pay)
-            k += 1
     if tail:
         enc = hans.ANSRangeEncoder(bw, 0)
         enc._encode_chunk(block[nfull * CHUNK:], bw)

@@ -131,6 +131,84 @@ def _scan(lk: jax.Array, step_block: int = 128, lane_block: int = 16):
 
 
 # ---------------------------------------------------------------------------
+# device-side chunk statistics: histogram + exact normalization
+# ---------------------------------------------------------------------------
+
+def _hist16(chunks: jax.Array) -> jax.Array:
+    """Per-chunk byte histograms via nibble decomposition: hist(hi, lo) =
+    OH_hi^T @ OH_lo — 32 one-hot lanes per byte instead of 256, with the
+    256-way outer product on the MXU.  Counts <= 16384 are exact in f32."""
+    xi = chunks.astype(jnp.int32)
+    oh_hi = jax.nn.one_hot(jnp.right_shift(xi, 4), 16, dtype=jnp.bfloat16)
+    oh_lo = jax.nn.one_hot(jnp.bitwise_and(xi, 15), 16, dtype=jnp.bfloat16)
+    c = jnp.einsum("nph,npl->nhl", oh_hi, oh_lo,
+                   preferred_element_type=jnp.float32)
+    return c.reshape(chunks.shape[0], 256).astype(jnp.int32)
+
+
+def _normalize_freqs_jax(hist: jax.Array, total_shift: int, scale: int):
+    """jnp port of entropy.utils.normalize_frequencies_batch for rows that
+    sum to exactly 1 << total_shift (full chunks) — integer-exact on TPU
+    (the power-of-two total turns the half-up divide into a shift)."""
+    total = 1 << total_shift
+    nz = hist > 0
+    asize = jnp.sum(nz.astype(jnp.int32), axis=1)
+    sf = hist * scale
+    scaled = jnp.where(sf <= total,
+                       1, jnp.right_shift(sf + (total >> 1), total_shift))
+    scaled = jnp.where(nz, scaled, 0)
+    idx_max = jnp.argmax(scaled, axis=1).astype(jnp.int32)   # first max
+    oh_max = (jax.lax.broadcasted_iota(jnp.int32, scaled.shape, 1)
+              == idx_max[:, None])
+    sum_scaled = jnp.sum(scaled, axis=1)
+    f = scaled
+    single = asize == 1
+    f = jnp.where(single[:, None], jnp.where(nz, scale, 0), f)
+    active = (~single) & (sum_scaled != scale)
+    delta = sum_scaled - scale
+    err_thr = jnp.right_shift(jnp.sum(scaled * oh_max, axis=1), 4)
+    small = active & (jnp.abs(delta) <= err_thr)
+    f = f - jnp.where(small[:, None] & oh_max, delta[:, None], 0)
+    big = active & ~small
+    neg = big & (delta < 0)
+    pos = big & (delta > 0)
+    f = f + jnp.where(neg[:, None] & oh_max, err_thr[:, None], 0)
+    f = f - jnp.where(pos[:, None] & oh_max, err_thr[:, None], 0)
+    d = jnp.where(neg, delta + err_thr, jnp.where(pos, delta - err_thr, 0))
+    inc = jnp.where(d > 0, -1, 1).astype(jnp.int32)
+    d = jnp.abs(d)
+    live = big
+    for _ in range(5):  # bounded error-spreading rounds, symbol order
+        elig = nz & (f > 2) & live[:, None]
+        cnt = jnp.cumsum(elig.astype(jnp.int32), axis=1)
+        adj = elig & (cnt <= d[:, None])
+        nadj = jnp.sum(adj.astype(jnp.int32), axis=1)
+        f = f + adj * inc[:, None]
+        d = d - jnp.minimum(nadj, d)
+        live = live & (d > 0) & (nadj > 0)
+    fmax = jnp.sum(f * oh_max, axis=1)
+    f = jnp.where(big[:, None] & oh_max,
+                  jnp.maximum(fmax - d, 1)[:, None], f)
+    return f
+
+
+@jax.jit
+def ans0_encode_device(chunks: jax.Array):
+    """Fully device-resident ANS0 stage-2 encode of full 16 KiB chunks:
+    histogram -> exact normalization -> table build -> scan -> compaction,
+    one jit call.  Returns (freq (N,256) i32, payload (N,C) u16,
+    n_emit (N) i32, states (N,4) i32)."""
+    total_shift = CHUNK.bit_length() - 1
+    hist = _hist16(chunks)
+    freq = _normalize_freqs_jax(hist, total_shift, SCALE)
+    cum = jnp.concatenate(
+        [jnp.zeros((freq.shape[0], 1), jnp.int32),
+         jnp.cumsum(freq, axis=1)[:, :-1].astype(jnp.int32)], axis=1)
+    payload, n_emit, states = ans0_encode_chunks_pallas(chunks, freq, cum)
+    return freq, payload, n_emit, states
+
+
+# ---------------------------------------------------------------------------
 # kernel 3: stable partition (payload compaction) — replaces an XLA sort
 # ---------------------------------------------------------------------------
 #
