@@ -166,6 +166,42 @@ def _canonical_codes(sizes: np.ndarray, symbols: np.ndarray,
     return codes
 
 
+def build_tables_batch(hists: np.ndarray):
+    """Batch (sizes, codes, alphabet counts) for (N, 256) histograms —
+    C++ fast path with a bit-exact Python fallback."""
+    n = hists.shape[0]
+    hists = np.ascontiguousarray(hists, dtype=np.int64)
+    try:
+        from ..utils.native import get_lib
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is not None and hasattr(lib, "huffman_build_tables"):
+        import ctypes
+        codes = np.zeros((n, 256), dtype=np.uint16)
+        sizes = np.zeros((n, 256), dtype=np.uint8)
+        nsym = np.zeros(n, dtype=np.int32)
+        rc = lib.huffman_build_tables(
+            hists.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(n),
+            codes.ctypes.data_as(ctypes.c_void_p),
+            sizes.ctypes.data_as(ctypes.c_void_p),
+            nsym.ctypes.data_as(ctypes.c_void_p))
+        if rc == 0:
+            return sizes.astype(np.int64), codes.astype(np.int64), nsym
+        raise BitStreamError("invalid Huffman code length 0",
+                             BitStreamError.INVALID_STREAM)
+    # Python fallback: reuse the single-chunk machinery
+    sizes = np.zeros((n, 256), dtype=np.int64)
+    codes = np.zeros((n, 256), dtype=np.int64)
+    nsym = np.zeros(n, dtype=np.int32)
+    enc = HuffmanEncoder(BitWriter())
+    for i in range(n):
+        nsym[i] = enc._update_frequencies(hists[i].copy())
+        sizes[i] = enc.sizes
+        codes[i] = enc.codes
+    return sizes, codes, nsym
+
+
 # --------------------------------------------------------------------------
 # encoder
 # --------------------------------------------------------------------------
@@ -187,6 +223,21 @@ class HuffmanEncoder:
         eu.encode_alphabet(bw, alphabet)
         if count == 0:
             return 0
+        try:
+            from ..utils.native import get_lib
+            _lib = get_lib()
+            native = _lib is not None and hasattr(_lib, "huffman_build_tables")
+        except Exception:
+            native = False
+        if native and count > 1:
+            s, c, _n = build_tables_batch(freqs[None].astype(np.int64))
+            self.sizes[:] = s[0]
+            self.codes = c[0]
+            eg = ExpGolombEncoder(bw, True)
+            deltas = np.diff(np.concatenate(
+                [[2], self.sizes[alphabet]])).astype(np.int64)
+            eg.encode(deltas.astype(np.uint8))
+            return count
         sizes = self.sizes
         sizes[:] = 0
         if count == 1:
@@ -228,7 +279,7 @@ class HuffmanEncoder:
         count = block.size
         if count == 0:
             return 0
-        start = 0
+        start = self._encode_full_chunks_tpu(block, bw)
         while start < count:
             sz = min(self.chunk_size, count - start)
             chunk = block[start:start + sz]
@@ -240,6 +291,80 @@ class HuffmanEncoder:
                     self._encode_chunk(chunk, bw)
             start += sz
         return count
+
+    def _encode_full_chunks_tpu(self, block: np.ndarray,
+                                bw: BitWriter) -> int:
+        """Device-batch every full 16 KiB chunk through the Pallas kernels
+        (lookup + bit-pack scan + compaction); returns the resume offset.
+        Headers and code tables stay on the host (256-symbol serial work)."""
+        import os
+        if os.environ.get("KANZI_TPU_DEVICE_HUFFMAN", "0") != "1":
+            # Default off: this host's TPU tunnel moves bulk data at only
+            # ~30 MB/s, so shipping chunks up and packed words back loses to
+            # the native host path.  On directly-attached TPUs (PCIe) the
+            # device path wins (kernel alone runs at ~3.5 GB/s); enable with
+            # KANZI_TPU_DEVICE_HUFFMAN=1.
+            return 0
+        if self.chunk_size != MAX_CHUNK_SIZE:
+            return 0
+        nfull = block.size // MAX_CHUNK_SIZE
+        if nfull < 4:
+            return 0
+        try:
+            import jax
+            if jax.default_backend() != "tpu":
+                return 0
+            import jax.numpy as jnp
+            from ..ops.huffman_pallas import huffman_encode_streams
+            from ..ops.ans_pallas import _hist16
+        except Exception:
+            return 0
+        chunks = block[:nfull * MAX_CHUNK_SIZE].reshape(nfull, MAX_CHUNK_SIZE)
+        dch = jnp.asarray(chunks)
+        hists = np.asarray(_hist16(dch)).astype(np.int64)
+        sizes_b, codes_b, nsym_b = build_tables_batch(hists)
+        skip = nsym_b <= 1
+        tables = ((sizes_b.astype(np.uint32) << 12)
+                  | codes_b.astype(np.uint32))
+        headers = []
+        for i in range(nfull):
+            hbw = BitWriter()
+            alphabet = np.flatnonzero(hists[i] > 0).astype(np.int64)
+            eu.encode_alphabet(hbw, alphabet)
+            if len(alphabet):
+                eg = ExpGolombEncoder(hbw, True)
+                deltas = np.diff(np.concatenate(
+                    [[2], sizes_b[i][alphabet]])).astype(np.int64)
+                eg.encode(deltas.astype(np.uint8))
+            headers.append(hbw)
+        tbl32 = (tables[:, 0::2] | (tables[:, 1::2] << 16)).astype(np.int32)
+        words, n_words, acc, nbits = huffman_encode_streams(
+            dch, jnp.asarray(tbl32))
+        n_words = np.asarray(n_words)
+        acc = np.asarray(acc)
+        nbits = np.asarray(nbits)
+        mw = int(n_words.max(initial=1))
+        mw = min(1 << max(mw - 1, 1).bit_length(), MAX_CHUNK_SIZE // 4)
+        words = np.asarray(words[:, :mw])
+        for i in range(nfull):
+            pk, nb = headers[i].getvalue_packed()
+            bw.write_bytes(pk.tobytes(), nb)
+            if skip[i]:
+                continue
+            for j in range(4):
+                r = 4 * i + j
+                eu.write_varint(bw, int(n_words[r]) * 16 + int(nbits[r]))
+            for j in range(4):
+                r = 4 * i + j
+                w = int(n_words[r])
+                p = int(nbits[r])
+                data = words[r, :w].astype(">u2").tobytes()
+                if p:
+                    nby = (p + 7) // 8
+                    v = (int(acc[r]) & ((1 << p) - 1)) << (8 * nby - p)
+                    data += v.to_bytes(nby, "big")
+                bw.write_bytes(data, 16 * w + p)
+        return nfull * MAX_CHUNK_SIZE
 
     def _encode_chunk(self, chunk: np.ndarray, bw: BitWriter) -> None:
         n = chunk.size

@@ -226,25 +226,25 @@ def ans0_encode_device(chunks: jax.Array):
 # form Mosaic supports — and every value fits exactly in f32.
 
 def _compact_kernel(e_ref, out_ref, cnt_ref):
-    ch = e_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ch * 128, 128), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ch, nb = e_ref.shape[0], e_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ch * nb, 128), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     triu = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
             ).astype(jnp.float32)
-    tril_strict = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-                   < jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tril_strict = (jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+                   < jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
                    ).astype(jnp.float32)
 
-    t = e_ref[:].reshape(ch * 128, 128)
+    t = e_ref[:].reshape(ch * nb, 128)
     flag = jnp.right_shift(t, 16)
     val = jnp.bitwise_and(t, 0xFFFF)
     # 1. inclusive in-block cumsum of flags (values <= 128: exact in f32)
     pos = jnp.dot(flag.astype(jnp.float32), triu,
                   preferred_element_type=jnp.float32).astype(jnp.int32)
     # 2. counts (lane-reduce) and exclusive offsets across each chunk's
-    #    128 blocks, both in (ch, 128)-lane layout
-    c = jnp.sum(flag.reshape(ch, 128, 128), axis=2)           # (ch, 128)
+    #    nb blocks, both in (ch, nb)-lane layout
+    c = jnp.sum(flag.reshape(ch, nb, 128), axis=2)            # (ch, nb)
     off = jnp.dot(c.astype(jnp.float32), tril_strict,
                   preferred_element_type=jnp.float32).astype(jnp.int32)
     cnt_ref[:] = c
@@ -261,18 +261,21 @@ def _compact_kernel(e_ref, out_ref, cnt_ref):
     #    fetched from the (ch, 128) lane layout by repeating each chunk row
     #    128x and gathering lane b (the row's block id) — no cross-layout
     #    reshape needed.
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ch * 128, 128), 0)
-    bid = jnp.bitwise_and(row_iota, 127)                      # row's block id
-    # replicate each chunk's (128,) offset/count rows to its 128 block rows
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ch * nb, 128), 0)
+    nb_shift = nb.bit_length() - 1
+    bid = jnp.bitwise_and(row_iota, nb - 1)                   # row's block id
+    # replicate each chunk's (nb,) offset/count rows to its nb block rows
     # with a 0/1 row-select matmul (pltpu.repeat tiles, it does not repeat
     # elementwise); values <= 16384 need the exact bf16x3 path
-    sel = (jnp.right_shift(row_iota[:, :ch], 7)
-           == jax.lax.broadcasted_iota(jnp.int32, (ch * 128, ch), 1)
-           ).astype(jnp.float32)                              # (ch*128, ch)
-    off_rows = jnp.dot(sel, off.astype(jnp.float32),
+    sel = (jnp.right_shift(row_iota[:, :ch], nb_shift)
+           == jax.lax.broadcasted_iota(jnp.int32, (ch * nb, ch), 1)
+           ).astype(jnp.float32)                              # (ch*nb, ch)
+    off_pad = jnp.pad(off, ((0, 0), (0, 128 - nb))).astype(jnp.float32)
+    c_pad = jnp.pad(c, ((0, 0), (0, 128 - nb))).astype(jnp.float32)
+    off_rows = jnp.dot(sel, off_pad,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-    c_rows = jnp.dot(sel, c.astype(jnp.float32),
+    c_rows = jnp.dot(sel, c_pad,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     r_fl = jnp.bitwise_and(jnp.take_along_axis(off_rows, bid, axis=1), 127)
@@ -282,10 +285,10 @@ def _compact_kernel(e_ref, out_ref, cnt_ref):
     valid = src < cb
     mask_a = valid & (lane >= r_fl)                           # stays in t0
     mask_b = valid & (lane < r_fl)                            # spills to t0+1
-    part_a = (rolled * mask_a).astype(jnp.float32).reshape(ch, 128, 128)
-    part_b = (rolled * mask_b).astype(jnp.float32).reshape(ch, 128, 128)
+    part_a = (rolled * mask_a).astype(jnp.float32).reshape(ch, nb, 128)
+    part_b = (rolled * mask_b).astype(jnp.float32).reshape(ch, nb, 128)
     # 6. place blocks into their destination 128-lane output tiles
-    t0 = jnp.right_shift(off, 7)                              # (ch, 128)
+    t0 = jnp.right_shift(off, 7)                              # (ch, nb)
     ra = (sub[None] == t0[:, None, :]).astype(jnp.float32)    # (ch, t, b)
     rb = (sub[None] == (t0 + 1)[:, None, :]).astype(jnp.float32)
     dn = (((2,), (1,)), ((0,), (0,)))
@@ -301,24 +304,25 @@ def _compact_kernel(e_ref, out_ref, cnt_ref):
 
 
 def _compact(e: jax.Array, chunks_per_cell: int = 8):
-    """e (N, 128, 128) int32 (flag<<16|val) -> payload (N, 128, 128) int32
-    (flagged values stably compacted per chunk), counts (N, 128) int32."""
-    n = e.shape[0]
+    """e (N, nb, 128) int32 (flag<<16|val), nb a power of two <= 128 ->
+    payload (N, nb, 128) int32 (flagged values stably compacted per chunk
+    of nb*128 positions), counts (N, nb) int32."""
+    n, nb, _ = e.shape
     ch = min(chunks_per_cell, n)
     payload, cnt = pl.pallas_call(
         _compact_kernel,
         grid=(n // ch,),
-        in_specs=[pl.BlockSpec((ch, 128, 128), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((ch, nb, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((ch, 128, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((ch, nb, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ch, 128), lambda i: (i, 0),
+            pl.BlockSpec((ch, nb), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n, nb, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n, nb), jnp.int32),
         ],
     )(e)
     return payload, cnt

@@ -1,0 +1,144 @@
+"""Pallas TPU kernels for canonical Huffman encoding (wire format of
+entropy/huffman.py, HuffmanEncoder.java:419-493 semantics).
+
+Per 16 KiB chunk the wire is 4 consecutive quarter-streams, each the
+MSB-first concatenation of its symbols' canonical codes (max length 12),
+preceded by the four bit counts as varints.  The host computes the code
+table per chunk (Moffat lengths + canonical assignment — 256-symbol
+serial work) and writes headers; the per-byte work runs on the TPU:
+
+  * (len, code) lookup: both fit 16 bits (len<<12 | code), two entries per
+    32-bit word -> one lane-direction dynamic_gather per symbol
+  * bit packing: a sequential scan per stream with a (acc, nbits) carry
+    emitting one 16-bit word whenever 16 bits are ready — same emission
+    structure as the rANS scan, so the MXU stable-partition compaction
+    kernel is reused to pack the emitted words
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ans_pallas import _compact, _pad_rows
+
+CHUNK = 16384
+STREAM = CHUNK // 4
+
+
+def _hlookup_kernel(syms_ref, tbl_ref, out_ref):
+    c = syms_ref.shape[1]
+    t = tbl_ref[:]
+    for j in range(c // 128):
+        ix = syms_ref[:, j * 128:(j + 1) * 128]
+        w = jnp.take_along_axis(t, jnp.right_shift(ix, 1), axis=1)
+        out_ref[:, j * 128:(j + 1) * 128] = jnp.bitwise_and(
+            jnp.right_shift(w, jnp.left_shift(jnp.bitwise_and(ix, 1), 4)),
+            0xFFFF)
+
+
+def _hlookup(syms_i32: jax.Array, tbl: jax.Array) -> jax.Array:
+    """syms (N, C) int32, tbl (N, 128) int32 (2 packed 16-bit entries per
+    word) -> (N, C) int32 entries (len<<12 | code)."""
+    n, c = syms_i32.shape
+    return pl.pallas_call(
+        _hlookup_kernel,
+        grid=(n // 8,),
+        in_specs=[
+            pl.BlockSpec((8, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c), jnp.int32),
+    )(syms_i32, tbl)
+
+
+def _hscan_kernel(lk_ref, emit_ref, acc_out_ref, nb_out_ref, acc_ref, nb_ref):
+    sb = lk_ref.shape[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        nb_ref[:] = jnp.zeros_like(nb_ref)
+
+    def body(i, _):
+        lk = lk_ref[i]
+        ln = jnp.right_shift(lk, 12)
+        code = jnp.bitwise_and(lk, 0xFFF)
+        acc = jnp.bitwise_or(jnp.left_shift(acc_ref[:], ln), code)
+        nb = nb_ref[:] + ln
+        em = nb >= 16
+        val = jnp.bitwise_and(jnp.right_shift(acc, jnp.maximum(nb - 16, 0)),
+                              0xFFFF)
+        nb2 = jnp.where(em, nb - 16, nb)
+        acc_ref[:] = jnp.bitwise_and(acc, jnp.left_shift(1, nb2) - 1)
+        nb_ref[:] = nb2
+        emit_ref[i] = jnp.where(
+            em, jnp.bitwise_or(1 << 16, val), 0)
+        return 0
+
+    jax.lax.fori_loop(0, sb, body, 0)
+    acc_out_ref[:] = acc_ref[:]
+    nb_out_ref[:] = nb_ref[:]
+
+
+def _hscan(lk: jax.Array, step_block: int = 128, lane_block: int = 16):
+    """lk (S, R, 128) int32 (len<<12|code) in stream order -> emit
+    (S, R, 128) int32 (flag<<16|word), final acc and nbits (R, 128)."""
+    s, r, _ = lk.shape
+    rb = min(lane_block, r)
+    return pl.pallas_call(
+        _hscan_kernel,
+        grid=(r // rb, s // step_block),
+        in_specs=[pl.BlockSpec((step_block, rb, 128), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((step_block, rb, 128), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, r, 128), jnp.int32),
+            jax.ShapeDtypeStruct((r, 128), jnp.int32),
+            jax.ShapeDtypeStruct((r, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rb, 128), jnp.int32),
+                        pltpu.VMEM((rb, 128), jnp.int32)],
+    )(lk)
+
+
+@jax.jit
+def huffman_encode_streams(chunks: jax.Array, tbl: jax.Array):
+    """Encode full 16 KiB chunks into per-quarter-stream Huffman words.
+
+    chunks (N, 16384) uint8; tbl (N, 128) int32 packed code table.
+    Returns words (4N, 4096) uint16 (each stream's 16-bit groups in order),
+    n_words (4N) int32, acc (4N) int32 (leftover bits, LSB-aligned) and
+    nbits (4N) int32 (leftover bit count < 16)."""
+    n0, c = chunks.shape
+    npad = _pad_rows(max(n0, 32))
+    if npad != n0:
+        pad = ((0, npad - n0), (0, 0))
+        chunks = jnp.pad(chunks, pad, mode="edge")
+        tbl = jnp.pad(tbl, pad, mode="edge")
+    n = npad
+    lkp = _hlookup(chunks.astype(jnp.int32), tbl)             # (N, C)
+    s = STREAM
+    r4 = 4 * n
+    lk = lkp.reshape(r4, s).T.reshape(s, r4 // 128, 128)      # stream order
+    emit, acc, nbits = _hscan(lk)
+    e = emit.reshape(s, r4 // 128 * 128).T.reshape(r4, s // 128, 128)
+    words, cnt = _compact(e)
+    n_words = jnp.sum(cnt, axis=1)
+    words = words.reshape(r4, s).astype(jnp.uint16)
+    accf = acc.reshape(r4)
+    nbf = nbits.reshape(r4)
+    return (words[:4 * n0], n_words[:4 * n0], accf[:4 * n0], nbf[:4 * n0])

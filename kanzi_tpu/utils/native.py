@@ -20,7 +20,8 @@ _TRIED = False
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRCS = [os.path.join(_ROOT, "native", f)
          for f in ("kanzi_native.cpp", "coders.cpp", "transforms.cpp", "lz.cpp",
-                   "bwt.cpp", "text.cpp", "exe.cpp", "rolz.cpp", "ans.cpp")]
+                   "bwt.cpp", "text.cpp", "exe.cpp", "rolz.cpp", "ans.cpp",
+                   "huffman.cpp")]
 _BUILD_DIR = os.path.join(_ROOT, "native", "_build")
 _SO = os.path.join(_BUILD_DIR, "libkanzi_native.so")
 

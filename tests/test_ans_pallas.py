@@ -157,6 +157,63 @@ def test_pallas_decode_inverts_encode():
 
 
 @pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
+def test_huffman_device_bit_exact():
+    import os
+    from kanzi_tpu.core.bits import BitReader, BitWriter
+    from kanzi_tpu.entropy.huffman import HuffmanDecoder, HuffmanEncoder
+
+    rng = np.random.default_rng(11)
+    data = (rng.zipf(1.5, 12 * CHUNK + 77) % 240).astype(np.uint8)
+    bw1 = BitWriter()
+    e1 = HuffmanEncoder(bw1)
+    e1._encode_full_chunks_tpu = lambda b, w: 0   # force host path
+    e1.encode(data.copy())
+    os.environ["KANZI_TPU_DEVICE_HUFFMAN"] = "1"
+    try:
+        bw2 = BitWriter()
+        HuffmanEncoder(bw2).encode(data.copy())
+    finally:
+        os.environ.pop("KANZI_TPU_DEVICE_HUFFMAN", None)
+    assert bw1.getvalue() == bw2.getvalue()
+    out = HuffmanDecoder(BitReader(bw2.getvalue())).decode(len(data))
+    assert np.array_equal(np.asarray(out, np.uint8), data)
+
+
+def test_huffman_native_tables_match_python():
+    from kanzi_tpu.core.bits import BitWriter
+    from kanzi_tpu.entropy.huffman import HuffmanEncoder, build_tables_batch
+    from kanzi_tpu.utils.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    hists = _random_hists(200, seed=9)
+    hists = hists[(hists > 0).sum(1) >= 2]   # count<=1 rows bypass tables
+    s, c, n = build_tables_batch(hists)
+    enc = HuffmanEncoder(BitWriter())
+    import kanzi_tpu.entropy.huffman as H
+    for i in range(len(hists)):
+        # force the pure-Python table computation
+        f = hists[i].copy()
+        alphabet = np.nonzero(f > 0)[0].astype(np.int64)
+        sizes = np.zeros(256, np.int64)
+        ranks = (f[alphabet] << 8) | alphabet
+        fcopy = f.copy()
+        ml = H._compute_code_lengths(sizes, ranks)
+        if ml > H.MAX_SYMBOL_SIZE:
+            ml = H._limit_code_lengths(alphabet, fcopy, sizes, ranks)
+        if ml > H.MAX_SYMBOL_SIZE:
+            codes = np.zeros(256, np.int64)
+            codes[alphabet] = np.arange(len(alphabet))
+            sizes[:] = 0
+            sizes[alphabet] = 8
+        else:
+            ranks2 = (fcopy[alphabet] << 8) | alphabet
+            codes = H._canonical_codes(sizes, np.sort(ranks2) & 0xFF)
+        assert np.array_equal(sizes, s[i]), f"sizes row {i}"
+        assert np.array_equal(codes, c[i]), f"codes row {i}"
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
 def test_pallas_wire_round_trip():
     from kanzi_tpu.core.bits import BitReader, BitWriter
     from kanzi_tpu.entropy.ans import ANSRangeDecoder
