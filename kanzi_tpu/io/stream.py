@@ -65,6 +65,12 @@ def _mix32(checksum: int, value: int) -> int:
     return (checksum * 5 + 0x52DCE729) & _M32
 
 
+def _mix32_v6(checksum: int, value: int) -> int:
+    """Header-checksum mixer of bitstream versions 5-6
+    (CompressedInputStream.java:128-130)."""
+    return (checksum ^ ((_HASH * (~value & _M32)) & _M32)) & _M32
+
+
 def _header_checksum(chk_size: int, entropy_type: int, transform_type: int,
                      block_size: int, input_size: int, sz_mask: int) -> int:
     cksum = (_HASH * (0x01030507 * BITSTREAM_FORMAT_VERSION & _M32)) & _M32
@@ -213,6 +219,7 @@ def decode_block(payload: np.ndarray, nbits: int, transform_type: int,
                  listeners=(), block_id: int = 0) -> np.ndarray:
     """Decode one block payload (byte array + bit length) to raw data."""
     br = BitReader(payload, nbits=nbits)
+    bs_version = int(ctx.get("bsVersion", BITSTREAM_FORMAT_VERSION))
     mode = br.read_bits(8)
     chk = ctx.get("checksum", 0)
     skip_flags = 0
@@ -220,7 +227,9 @@ def decode_block(payload: np.ndarray, nbits: int, transform_type: int,
     transformed_copy = False
     copy_block = bool(mode & COPY_BLOCK_MASK)
     if copy_block:
-        if mode & TRANSFORMS_MASK:
+        # transformed-copy blocks exist from bitstream version 7
+        # (CompressedInputStream.java:111, :1037)
+        if bs_version >= 7 and (mode & TRANSFORMS_MASK):
             transformed_copy = True
             nb_functions = len(transform_factory.new_function(dict(ctx), transform_type).transforms)
             if nb_functions > 4:
@@ -235,12 +244,15 @@ def decode_block(payload: np.ndarray, nbits: int, transform_type: int,
         skip_flags = br.read_bits(8)
     data_size = 1 + ((mode >> 5) & 0x03)
     pre_len = br.read_bits(8 * data_size)
-    header_checksum = br.read_bits(8)
-    hsf = skip_flags if has_skip_flags else (
-        0 if (copy_block and not transformed_copy) else ((mode << 4) | 0x0F) & 0xFF)
-    expect = _block_header_checksum(mode, hsf, pre_len, nbits)
-    if header_checksum != expect:
-        raise IOError_("block header checksum mismatch", Error.ERR_CRC_CHECK)
+    if bs_version >= 7:
+        # the 8-bit block-header checksum is a v7 addition, verified before
+        # any payload allocation (CompressedInputStream.java:1076-1091)
+        header_checksum = br.read_bits(8)
+        hsf = skip_flags if has_skip_flags else (
+            0 if (copy_block and not transformed_copy) else ((mode << 4) | 0x0F) & 0xFF)
+        expect = _block_header_checksum(mode, hsf, pre_len, nbits)
+        if header_checksum != expect:
+            raise IOError_("block header checksum mismatch", Error.ERR_CRC_CHECK)
     if pre_len == 0:
         return np.zeros(0, dtype=np.uint8)
     max_transform_length = min(max(block_size + block_size // 2, 2048),
@@ -499,28 +511,82 @@ class CompressedInputStream:
         return True
 
     def _read_header(self) -> None:
+        """Stream-header parse with back-compat for bitstream versions 1..7
+        (CompressedInputStream.java:359-515).  Headers of every version
+        parse and verify; block-payload decode is supported for versions
+        >= 6 (older streams also changed per-codec wire details: ANS V1
+        chunking, pre-v4 FPAQ/CM, pre-v6 Huffman tables)."""
         br = self._br
         if br.read_bits(32) != BITSTREAM_TYPE:
             raise IOError_("invalid stream type", Error.ERR_INVALID_FILE)
-        self.bs_version = br.read_bits(4)
-        if self.bs_version != BITSTREAM_FORMAT_VERSION:
-            raise IOError_(f"unsupported bitstream version {self.bs_version}",
+        self.bs_version = v = br.read_bits(4)
+        if v > BITSTREAM_FORMAT_VERSION:
+            raise IOError_(f"unsupported bitstream version {v}",
                            Error.ERR_STREAM_VERSION)
-        chk_size = br.read_bits(2)
+        if v >= 6:
+            chk_size = br.read_bits(2)
+            if chk_size == 3:
+                raise IOError_("invalid block checksum size",
+                               Error.ERR_INVALID_FILE)
+        else:
+            chk_size = br.read_bit()
         self.checksum = {0: 0, 1: 32, 2: 64}.get(chk_size, 0)
         self.entropy_type = br.read_bits(5)
         self.transform_type = br.read_bits(48)
         self.block_size = br.read_bits(28) << 4
         if not MIN_BITSTREAM_BLOCK_SIZE <= self.block_size <= MAX_BITSTREAM_BLOCK_SIZE:
             raise IOError_("invalid block size in header", Error.ERR_BLOCK_SIZE)
-        sz_mask = br.read_bits(2)
-        self.output_size = br.read_bits(16 * sz_mask) if sz_mask else 0
-        br.read_bits(15)
-        cksum = br.read_bits(24)
-        expect = _header_checksum(chk_size, self.entropy_type, self.transform_type,
-                                  self.block_size, self.output_size, sz_mask)
-        if cksum != expect:
-            raise IOError_("invalid stream: header checksum mismatch", Error.ERR_CRC_CHECK)
+        self.output_size = 0
+        sz_mask = 0
+        if v >= 5:
+            sz_mask = br.read_bits(2)
+            if sz_mask:
+                self.output_size = br.read_bits(16 * sz_mask)
+            if v >= 6:
+                br.read_bits(15)  # padding
+                crc_size = 24
+                seed = (0x01030507 * v) & _M32
+            else:
+                crc_size = 16
+                seed = v
+            cksum1 = br.read_bits(crc_size)
+            mix = _mix32 if v >= 7 else _mix32_v6
+            ck = (_HASH * seed) & _M32
+            if v >= 6:
+                ck = mix(ck, chk_size)
+            ck = mix(ck, self.entropy_type)
+            ck = mix(ck, (self.transform_type >> 32) & _M32)
+            ck = mix(ck, self.transform_type & _M32)
+            ck = mix(ck, self.block_size)
+            if sz_mask:
+                ck = mix(ck, (self.output_size >> 32) & _M32)
+                ck = mix(ck, self.output_size & _M32)
+            ck = ((ck >> 23) ^ (ck >> 3)) & ((1 << crc_size) - 1)
+            if cksum1 != ck:
+                raise IOError_("invalid stream: header checksum mismatch",
+                               Error.ERR_CRC_CHECK)
+        elif v >= 3:
+            nb_blocks = br.read_bits(6)
+            self.nb_input_blocks = 65536 if nb_blocks == 0 else nb_blocks
+            cksum1 = br.read_bits(4)
+            ck = (_HASH * v) & _M32
+            ck ^= (_HASH * self.entropy_type) & _M32
+            ck ^= (_HASH * ((self.transform_type >> 32) & _M32)) & _M32
+            ck ^= (_HASH * (self.transform_type & _M32)) & _M32
+            ck ^= (_HASH * self.block_size) & _M32
+            ck ^= (_HASH * self.nb_input_blocks) & _M32
+            ck = ((ck >> 23) ^ (ck >> 3)) & 0x0F
+            if cksum1 != ck:
+                raise IOError_("invalid stream: corrupted header",
+                               Error.ERR_CRC_CHECK)
+        else:
+            self.nb_input_blocks = br.read_bits(6)
+            br.read_bits(4)  # reserved
+        if v < 6:
+            raise IOError_(
+                f"bitstream version {v} headers parse, but block decoding "
+                "for pre-v6 streams is not supported yet",
+                Error.ERR_STREAM_VERSION)
         notify(self.listeners, Event(
             EventType.AFTER_HEADER_DECODING, 0, 0,
             header=HeaderInfo(self.bs_version, self.checksum, self.block_size,
