@@ -138,12 +138,14 @@ def _compress(args) -> int:
     for path in inputs:
         file_size = os.path.getsize(path) if os.path.isfile(path) else 0
         block = _parse_block_size(args.block, file_size, jobs) if args.block else default_block
-        if multi:
+        if (args.output or "").upper() == "NONE":
+            out = os.devnull                    # sink (Kanzi.java -o NONE)
+        elif multi:
             out = (os.path.join(out_dir, os.path.basename(path) + ".knz")
                    if out_dir else path + ".knz")
         else:
             out = _out_path(args, ".knz", "")
-        if os.path.exists(out) and not args.force:
+        if out != os.devnull and os.path.exists(out) and not args.force:
             print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
             return Error.ERR_OVERWRITE_FILE
         bc = BlockCompressor(transform=transform, entropy=entropy, block_size=block,
@@ -178,14 +180,16 @@ def _decompress(args) -> int:
     multi = len(inputs) > 1
     out_dir = args.output if multi and args.output and os.path.isdir(args.output) else None
     for path in inputs:
-        if multi:
+        if (args.output or "").upper() == "NONE":
+            out = os.devnull                    # sink (Kanzi.java -o NONE)
+        elif multi:
             base = os.path.basename(path)
             base = base[:-4] if base.endswith(".knz") else base + ".out"
             out = os.path.join(out_dir, base) if out_dir else (
                 path[:-4] if path.endswith(".knz") else path + ".out")
         else:
             out = _out_path(args, ".out", ".knz")
-        if os.path.exists(out) and not args.force:
+        if out != os.devnull and os.path.exists(out) and not args.force:
             print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
             return Error.ERR_OVERWRITE_FILE
         bd = BlockDecompressor(jobs=jobs, verbosity=args.verbose,

@@ -173,3 +173,20 @@ def detect_simple_type(count: int, freqs0: np.ndarray) -> DataType:
     if nsym <= 4:
         return DataType.SMALL_ALPHABET
     return DataType.UNDEFINED
+
+
+_WIN_RESERVED = (
+    "AUX", "COM0", "COM1", "COM2", "COM3", "COM4", "COM5", "COM6", "COM7",
+    "COM8", "COM9", "COM¹", "COM²", "COM³", "CON", "LPT0",
+    "LPT1", "LPT2", "LPT3", "LPT4", "LPT5", "LPT6", "LPT7", "LPT8", "LPT9",
+    "NUL", "PRN",
+)
+
+
+def is_reserved_name(file_name: str) -> bool:
+    """Windows reserved device names (Global.java:619-635); always False on
+    other platforms like the reference."""
+    import sys
+    if not sys.platform.startswith("win"):
+        return False
+    return file_name in _WIN_RESERVED
