@@ -244,19 +244,21 @@ class ANSRangeDecoder:
                  bs_version: int = 7) -> None:
         if order not in (0, 1):
             raise ValueError("ANS order must be 0 or 1")
-        if bs_version < 4:
-            raise NotImplementedError("legacy (<v4) ANS streams not supported")
         self.br = br
         self.order = order
+        self.bs_version = bs_version
+        if bs_version < 4:  # fixed 32 KiB chunks before bitstream v4
+            chunk_size = 32768  # ANSRangeDecoder.java:130
         self._chunk_size0 = chunk_size
         self.chunk_size = min(chunk_size << (8 * order), MAX_CHUNK_SIZE)
 
     def decode(self, count: int, br: BitReader | None = None) -> np.ndarray:
         br = br or self.br
-        from ..utils.native_coders import ans_decode_native
-        res = ans_decode_native(count, br, self.order, self._chunk_size0)
-        if res is not None:
-            return res
+        if self.bs_version >= 4:
+            from ..utils.native_coders import ans_decode_native
+            res = ans_decode_native(count, br, self.order, self._chunk_size0)
+            if res is not None:
+                return res
         if count <= 32:
             return br.read_bytes(count)
         out = np.empty(count, dtype=np.uint8)
@@ -297,6 +299,11 @@ class ANSRangeDecoder:
         for k in range(dim):
             f2s[k] = np.repeat(np.arange(256), freq_tab[k]) if freq_tab[k].sum() == scale \
                 else _fill_f2s(freq_tab[k], scale)
+
+        if self.bs_version == 1:
+            self._decode_chunk_v1(out, start, end, br, lr, f2s, freq_cap,
+                                  cum_tab)
+            return
 
         sz = eu.read_varint(br)
         if sz >= MAX_CHUNK_SIZE:
@@ -351,6 +358,51 @@ class ANSRangeDecoder:
             ptr += 1
         if ptr != sz:
             raise BitStreamError("ANS payload size mismatch", BitStreamError.INVALID_STREAM)
+
+    def _decode_chunk_v1(self, out: np.ndarray, start: int, end: int,
+                         br: BitReader, lr: int, f2s: np.ndarray,
+                         freq_cap: np.ndarray, cum_tab: np.ndarray) -> None:
+        """Bitstream-v1 chunk body: 2 interleaved states (order 0) / 1 state
+        (order 1), 16-bit renormalization (ANSRangeDecoder.java:245-322)."""
+        mask = (1 << lr) - 1
+        sz = eu.read_varint(br) & (MAX_CHUNK_SIZE - 1)
+        st0 = br.read_bits(32)
+        st1 = br.read_bits(32) if self.order == 0 else 0
+        buf = br.read_bytes(sz) if sz else np.zeros(0, dtype=np.uint8)
+        buf = np.concatenate([buf, np.zeros(8, dtype=np.uint8)]).astype(np.int64)
+        n = 0
+        if self.order == 0:
+            end2 = (end & -2) - 1
+            i = start
+            while i < end2:
+                cur1 = int(f2s[0, st1 & mask])
+                out[i] = cur1
+                cur0 = int(f2s[0, st0 & mask])
+                out[i + 1] = cur0
+                st1 = (int(freq_cap[0, cur1]) * (st1 >> lr)
+                       + (st1 & mask) - int(cum_tab[0, cur1])) & 0xFFFFFFFF
+                st0 = (int(freq_cap[0, cur0]) * (st0 >> lr)
+                       + (st0 & mask) - int(cum_tab[0, cur0])) & 0xFFFFFFFF
+                while st1 < ANS_TOP:
+                    st1 = ((st1 << 16) | (int(buf[n]) << 8) | int(buf[n + 1])) & 0xFFFFFFFF
+                    n += 2
+                while st0 < ANS_TOP:
+                    st0 = ((st0 << 16) | (int(buf[n]) << 8) | int(buf[n + 1])) & 0xFFFFFFFF
+                    n += 2
+                i += 2
+            if end & 1:
+                out[end - 1] = buf[sz - 1]
+        else:
+            prv = 0
+            for i in range(start, end):
+                cur = int(f2s[prv, st0 & mask])
+                out[i] = cur
+                st0 = (int(freq_cap[prv, cur]) * (st0 >> lr)
+                       + (st0 & mask) - int(cum_tab[prv, cur])) & 0xFFFFFFFF
+                while st0 < ANS_TOP:
+                    st0 = ((st0 << 16) | (int(buf[n]) << 8) | int(buf[n + 1])) & 0xFFFFFFFF
+                    n += 2
+                prv = cur
 
     def dispose(self) -> None:
         pass

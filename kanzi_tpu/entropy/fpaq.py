@@ -27,13 +27,15 @@ PSCALE = 65536
 
 
 class FPAQEncoder:
-    def __init__(self, bw: BitWriter) -> None:
+    def __init__(self, bw: BitWriter, legacy_v3: bool = False) -> None:
         self.bw = bw
         self.low = 0
         self.high = TOP
         self.probs = np.full((4, 256), PSCALE >> 1, dtype=np.int32)
         self._out: list[int] = []
         self._disposed = False
+        # pre-v4 wire (12-bit split); only used to author legacy fixtures
+        self._legacy_v3 = legacy_v3
 
     def encode(self, block: np.ndarray, bw: BitWriter | None = None) -> int:
         bw = bw or self.bw
@@ -43,9 +45,10 @@ class FPAQEncoder:
             return 0
         if count > MAX_BLOCK_SIZE:
             raise ValueError("block too large")
-        from ..utils.native_coders import fpaq_encode_native
-        if fpaq_encode_native(self, block, bw):
-            return count
+        if not self._legacy_v3:
+            from ..utils.native_coders import fpaq_encode_native
+            if fpaq_encode_native(self, block, bw):
+                return count
         start = 0
         while start < count:
             chunk = min(DEFAULT_CHUNK_SIZE, count - start)
@@ -69,7 +72,10 @@ class FPAQEncoder:
 
     def _encode_bit(self, bit: int, p: np.ndarray, ctx: int) -> None:
         pv = int(p[ctx])
-        split = (((self.high - self.low) >> 8) * pv) >> 8
+        if self._legacy_v3:
+            split = (((self.high - self.low) >> 4) * (pv >> 4)) >> 8
+        else:
+            split = (((self.high - self.low) >> 8) * pv) >> 8
         if bit == 0:
             self.low += split + 1
             p[ctx] = pv - (pv >> 6)
@@ -91,8 +97,8 @@ class FPAQEncoder:
 class FPAQDecoder:
     def __init__(self, br: BitReader, ctx: dict | None = None) -> None:
         bs_version = (ctx or {}).get("bsVersion", 7)
-        if bs_version < 4:
-            raise NotImplementedError("legacy (<v4) FPAQ streams not supported")
+        # pre-v4 split uses a 12-bit prediction (FPAQDecoder.java:145, :197)
+        self._legacy_v3 = bs_version < 4
         self.br = br
         self.low = 0
         self.high = TOP
@@ -108,10 +114,11 @@ class FPAQDecoder:
             return np.zeros(0, dtype=np.uint8)
         if count > MAX_BLOCK_SIZE:
             raise ValueError("block too large")
-        from ..utils.native_coders import fpaq_decode_native
-        res = fpaq_decode_native(self, count, br)
-        if res is not None:
-            return res
+        if not self._legacy_v3:
+            from ..utils.native_coders import fpaq_decode_native
+            res = fpaq_decode_native(self, count, br)
+            if res is not None:
+                return res
         out = np.empty(count, dtype=np.uint8)
         start = 0
         while start < count:
@@ -140,7 +147,10 @@ class FPAQDecoder:
 
     def _decode_bit(self, p: np.ndarray, ctx: int) -> int:
         pv = int(p[ctx])
-        split = ((((self.high - self.low) >> 8) * pv) >> 8) + self.low
+        if self._legacy_v3:
+            split = ((((self.high - self.low) >> 4) * (pv >> 4)) >> 8) + self.low
+        else:
+            split = ((((self.high - self.low) >> 8) * pv) >> 8) + self.low
         if split >= self.current:
             bit = 1
             self.high = split

@@ -397,8 +397,7 @@ class HuffmanDecoder:
                  bs_version: int = 7) -> None:
         if not MIN_CHUNK_SIZE <= chunk_size <= MAX_CHUNK_SIZE:
             raise ValueError("invalid Huffman chunk size")
-        if bs_version < 6:
-            raise NotImplementedError("legacy (<v6) Huffman streams not supported")
+        self.bs_version = bs_version
         self.br = br
         self.chunk_size = chunk_size
         self.sizes = np.full(256, 8, dtype=np.int64)
@@ -443,6 +442,31 @@ class HuffmanDecoder:
         br = br or self.br
         out = np.empty(count, dtype=np.uint8)
         start = 0
+        if self.bs_version < 6:
+            # single-stream legacy layout (HuffmanDecoder.java:213, :231-345)
+            while start < count:
+                sz = min(self.chunk_size, count - start)
+                n_sym = self._read_lengths()
+                if n_sym == 0:
+                    raise BitStreamError("empty Huffman alphabet",
+                                         BitStreamError.INVALID_STREAM)
+                if n_sym == 1:
+                    out[start:start + sz] = self.alphabet[0]
+                else:
+                    if br.read_bits(2) != 0:
+                        raise BitStreamError(
+                            "unsupported Huffman stream count",
+                            BitStreamError.INVALID_STREAM)
+                    sz_bits = eu.read_varint(br)
+                    if sz_bits != 0:
+                        sym_lut, len_lut = self._build_luts()
+                        bits = br.read_bit_array(sz_bits)
+                        # the last codes may rely on zero padding past the
+                        # declared bit count; _chain_decode zero-pads
+                        syms, _ = _chain_decode(bits, sz, sym_lut, len_lut)
+                        out[start:start + sz] = syms
+                start += sz
+            return out
         while start < count:
             sz = min(self.chunk_size, count - start)
             if sz < 32:

@@ -512,10 +512,10 @@ class CompressedInputStream:
 
     def _read_header(self) -> None:
         """Stream-header parse with back-compat for bitstream versions 1..7
-        (CompressedInputStream.java:359-515).  Headers of every version
-        parse and verify; block-payload decode is supported for versions
-        >= 6 (older streams also changed per-codec wire details: ANS V1
-        chunking, pre-v4 FPAQ/CM, pre-v6 Huffman tables)."""
+        (CompressedInputStream.java:359-515).  Block bodies of every version
+        decode: the per-codec legacy wire variants (ANS V1 chunks, pre-v4
+        FPAQ/CM/LZP, pre-v6 Huffman/BWT/LZX, pre-v3 EXE/ROLZ) are handled by
+        the codecs themselves via ctx["bsVersion"]."""
         br = self._br
         if br.read_bits(32) != BITSTREAM_TYPE:
             raise IOError_("invalid stream type", Error.ERR_INVALID_FILE)
@@ -582,11 +582,6 @@ class CompressedInputStream:
         else:
             self.nb_input_blocks = br.read_bits(6)
             br.read_bits(4)  # reserved
-        if v < 6:
-            raise IOError_(
-                f"bitstream version {v} headers parse, but block decoding "
-                "for pre-v6 streams is not supported yet",
-                Error.ERR_STREAM_VERSION)
         notify(self.listeners, Event(
             EventType.AFTER_HEADER_DECODING, 0, 0,
             header=HeaderInfo(self.bs_version, self.checksum, self.block_size,

@@ -22,8 +22,8 @@ class CMPredictor:
 
     def __init__(self, ctx: dict | None = None) -> None:
         bs_version = (ctx or {}).get("bsVersion", 7)
-        if bs_version < 4:
-            raise NotImplementedError("legacy (<v4) CM streams not supported")
+        # pre-v4 streams use the interpolated SSE variant (CMPredictor.java:180)
+        self._legacy_v3 = bs_version < 4
         self._used = False
         self.c1 = 0
         self.c2 = 0
@@ -33,17 +33,17 @@ class CMPredictor:
         self.counter1 = np.full((256, 257), PSCALE >> 1, dtype=np.int32)
         c2 = np.zeros((512, 17), dtype=np.int32)
         c2[:, :16] = np.arange(16, dtype=np.int32) << 12
-        c2[:, 16] = 65535
+        c2[:, 16] = (15 << 12) if self._legacy_v3 else 65535
         self.counter2 = c2
 
     def native_encode(self, enc, block, bw) -> bool:
-        if self._used:
+        if self._used or self._legacy_v3:
             return False  # state not fresh; use the Python spec path
         from ..utils.native_coders import cm_encode_native
         return cm_encode_native(enc, block, bw)
 
     def native_decode(self, dec, count, br):
-        if self._used:
+        if self._used or self._legacy_v3:
             return None
         from ..utils.native_coders import cm_decode_native
         return cm_decode_native(dec, count, br)
@@ -55,6 +55,9 @@ class CMPredictor:
         pc2 = self.counter2[self.ctx | self.run_mask]
         x1 = int(pc2[self.idx])
         x2 = int(pc2[self.idx + 1])
+        if self._legacy_v3:
+            ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
+            return (p + 3 * ssep + 32) >> 6
         return (p + p + 3 * (x1 + x2) + 64) >> 7
 
     def update(self, bit: int) -> None:

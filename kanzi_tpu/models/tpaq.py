@@ -49,9 +49,11 @@ def _create_context(ctx_id: int, cx: int) -> int:
     return _i32((cx * 123456791 + ctx_id) & _M32)
 
 
-def compute_sizes(ctx: dict | None, extra: bool) -> tuple[int, int, int, int]:
+def compute_sizes(ctx: dict | None, extra: bool,
+                  bs_version: int = 7) -> tuple[int, int, int, int]:
     """(states, mixers, hash, buffer) sizes from block-size hints
-    (TPAQPredictor.java:200-246)."""
+    (TPAQPredictor.java:200-246).  Pre-v7 bitstreams keep non-power-of-two
+    ring/hash sizes and index via (size-1) bit masks (TPAQPredictor.java:232)."""
     states_size = 1 << 28
     mixers_size = 1 << 12
     hash_size = HASH_SIZE
@@ -80,9 +82,9 @@ def compute_sizes(ctx: dict | None, extra: bool) -> tuple[int, int, int, int]:
         buffer_size = min(BUFFER_SIZE, rbsz)
         mxsz = absz * 16 if absz < (1 << 26) else 1 << 30
         hash_size = min(HASH_SIZE, mxsz)
-    # v7: normalize to powers of two
-    buffer_size = 1 << (max(buffer_size, 1).bit_length() - 1)
-    hash_size = 1 << (max(hash_size, 1).bit_length() - 1)
+    if bs_version > 6:  # v7: normalize to powers of two
+        buffer_size = 1 << (max(buffer_size, 1).bit_length() - 1)
+        hash_size = 1 << (max(hash_size, 1).bit_length() - 1)
     em = 2 if extra else 0
     mixers_size <<= em
     states_size <<= em
@@ -99,13 +101,13 @@ class TPAQPredictor:
         if ctx is not None:
             self.extra = ctx.get("entropy", "NONE") == "TPAQX"
             bs_version = ctx.get("bsVersion", 7)
-        if bs_version < 7:
-            raise NotImplementedError("legacy (<v7) TPAQ streams not supported")
-        self.use_logical_ctx6_shift = self.extra  # bsVersion >= 7
+        self._legacy = bs_version < 7
+        self.use_logical_ctx6_shift = self.extra and bs_version >= 7
         self._used = False
         self._block_size = (ctx or {}).get("blockSize", 32768)
         self._size = (ctx or {}).get("size", self._block_size)
-        states_size, mixers_size, hash_size, buffer_size = compute_sizes(ctx, self.extra)
+        states_size, mixers_size, hash_size, buffer_size = \
+            compute_sizes(ctx, self.extra, bs_version)
 
         self.pr = 2048
         self.c0 = 1
@@ -153,14 +155,14 @@ class TPAQPredictor:
         self.mixer_idx = 0
 
     def native_encode(self, enc, block, bw) -> bool:
-        if self._used:
+        if self._used or self._legacy:
             return False
         from ..utils.native_coders import tpaq_encode_native
         return tpaq_encode_native(enc, block, bw, self.extra,
                                   self._block_size, self._size)
 
     def native_decode(self, dec, count, br):
-        if self._used:
+        if self._used or self._legacy:
             return None
         from ..utils.native_coders import tpaq_decode_native
         return tpaq_decode_native(dec, count, br, self.extra,

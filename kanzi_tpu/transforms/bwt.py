@@ -182,8 +182,6 @@ class BWTBlockCodec:
     def __init__(self, ctx: dict | None = None) -> None:
         self.bwt = BWT(ctx)
         self.bs_version = (ctx or {}).get("bsVersion", 7)
-        if self.bs_version < 6:
-            raise NotImplementedError("legacy (<v6) BWT streams not supported")
 
     def max_encoded_len(self, src_len: int) -> int:
         return src_len + BWT_MAX_HEADER_SIZE
@@ -214,6 +212,8 @@ class BWTBlockCodec:
         src = np.asarray(src, dtype=np.uint8)
         if src.size == 0:
             return src.copy()
+        if self.bs_version <= 5:
+            return self._inverse_v5(src, count)
         mode = int(src[0])
         log_chunks = (mode >> 2) & 0x07
         p_index_size = (mode & 0x03) + 1
@@ -234,3 +234,27 @@ class BWTBlockCodec:
             if not self.bwt.set_primary_index(i, pi + 1):
                 raise ValueError("BWT: invalid primary index")
         return self.bwt.inverse(src[header_size:], count)
+
+    def _inverse_v5(self, src: np.ndarray, count: int | None) -> np.ndarray:
+        """Pre-v6 framing: one (mode + primary index) header per chunk, the
+        chunk count derived from the full block size and the index packed
+        into the mode byte's low 6 bits (BWTBlockCodec.java:186-209)."""
+        chunks = get_bwt_chunks(src.size)
+        pos = 0
+        length = src.size
+        for i in range(chunks):
+            block_mode = int(src[pos])
+            pos += 1
+            p_index_size = 1 + ((block_mode >> 6) & 0x03)
+            if length < p_index_size:
+                raise ValueError("BWT: truncated legacy header")
+            length -= p_index_size
+            shift = (p_index_size - 1) << 3
+            pi = (block_mode & 0x3F) << shift
+            for _ in range(1, p_index_size):
+                shift -= 8
+                pi |= int(src[pos]) << shift
+                pos += 1
+            if not self.bwt.set_primary_index(i, pi):
+                raise ValueError("BWT: invalid primary index")
+        return self.bwt.inverse(src[pos:], count)

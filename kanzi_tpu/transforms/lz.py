@@ -24,6 +24,7 @@ class LZXCodec:
     def __init__(self, ctx: dict | None = None, extra: bool = False) -> None:
         self.ctx = ctx
         self.extra = extra
+        self.bs_version = (ctx or {}).get("bsVersion", 7)
         if ctx is not None:
             from .factory import LZ_TYPE, LZX_TYPE
             self.extra = ctx.get("lz", LZ_TYPE) == LZX_TYPE
@@ -54,6 +55,8 @@ class LZXCodec:
         src = np.asarray(src, dtype=np.uint8)
         if src.size == 0:
             return src.copy()
+        if self.bs_version < 6:
+            return _lzx_inverse_v5_py(src, count)
         if count is not None:
             res = nt.lzx_inverse_native(src, count)
             if res is not None:
@@ -76,10 +79,12 @@ class LZXCodec:
 
 
 class LZPCodec:
-    """LZ-predict: order-4 context hash, match flag 0xFC, min match 64."""
+    """LZ-predict: order-4 context hash, match flag 0xFC, min match 64
+    (96 before bitstream v4, LZCodec.java:1161)."""
 
     def __init__(self, ctx: dict | None = None) -> None:
         self.ctx = ctx
+        self.bs_version = (ctx or {}).get("bsVersion", 7)
 
     def max_encoded_len(self, src_len: int) -> int:
         return src_len + 16 if src_len <= 1024 else src_len + (src_len >> 6)
@@ -99,6 +104,8 @@ class LZPCodec:
         src = np.asarray(src, dtype=np.uint8)
         if src.size == 0:
             return src.copy()
+        if self.bs_version < 4:
+            return _lzp_inverse_py(src, min_match=96)
         if count is not None:
             res = nt.lzp_inverse_native(src, count)
             if res is not None:
@@ -220,7 +227,76 @@ def _lzx_inverse_py(src: np.ndarray, count: int) -> np.ndarray:
     return out[:count].copy()
 
 
-def _lzp_inverse_py(src: np.ndarray) -> np.ndarray:
+def _lzx_inverse_v5_py(src: np.ndarray, count: int | None) -> np.ndarray:
+    """Pre-v6 LZ/LZX block layout (LZCodec.java:768-900): token LLLFMMMM
+    with 3-bit literal lengths, rep-distance selected by bit 0x10 when
+    mLen == 15, distance width from the mode byte's low bit."""
+    n = src.size
+    if n < 13:
+        raise ValueError("LZX: truncated")
+    tk_len = int.from_bytes(src[0:4].tobytes(), "little")
+    m_idx_len = int.from_bytes(src[4:8].tobytes(), "little")
+    m_len_len = int.from_bytes(src[8:12].tobytes(), "little")
+    if tk_len < 13 or tk_len > n or m_idx_len > n - tk_len \
+            or m_len_len > n - tk_len - m_idx_len:
+        raise ValueError("LZX: bad section lengths")
+    tk_idx = tk_len
+    m_idx = tk_idx + m_idx_len
+    m_len_idx = m_idx + m_len_len
+    src_end = tk_len - 13
+    lit_end = tk_len
+    mode = int(src[12])
+    m_flag = mode & 1
+    max_dist = MAX_DISTANCE2 if m_flag else MAX_DISTANCE1
+    min_match = (4, 9, 6, 6)[(mode >> 1) & 0x03]
+    src_idx = 13
+    dst = bytearray()
+    repd0 = repd1 = 0
+    buf = src
+    while True:
+        token = int(buf[tk_idx]); tk_idx += 1
+        if token >= 32:
+            if token >= 0xE0:
+                lit_len, src_idx = _read_len(buf, src_idx)
+                lit_len += 7
+            else:
+                lit_len = token >> 5
+            if lit_len > lit_end - src_idx:
+                raise ValueError("LZX: literal overrun")
+            dst += buf[src_idx:src_idx + lit_len].tobytes()
+            src_idx += lit_len
+            if src_idx >= src_end:
+                break
+        m_len = token & 0x0F
+        if m_len == 15:
+            ext, m_len_idx = _read_len(buf, m_len_idx)
+            m_len = min_match + ext
+            dist = repd0 if (token & 0x10) == 0 else repd1
+        else:
+            if m_len == 14:
+                ext, m_len_idx = _read_len(buf, m_len_idx)
+                m_len = 14 + ext
+            m_len += min_match
+            dist = int(buf[m_idx]); m_idx += 1
+            if m_flag:
+                dist = (dist << 8) | int(buf[m_idx]); m_idx += 1
+            if token & 0x10:
+                dist = (dist << 8) | int(buf[m_idx]); m_idx += 1
+        repd1 = repd0
+        repd0 = dist
+        ref = len(dst) - dist
+        if ref < 0 or dist > max_dist:
+            raise ValueError("LZX: bad distance")
+        for _ in range(m_len):
+            dst.append(dst[ref])
+            ref += 1
+    if src_idx != src_end + 13:
+        raise ValueError("LZX: stream mismatch")
+    out = np.frombuffer(bytes(dst), dtype=np.uint8)
+    return out[:count].copy() if count is not None else out.copy()
+
+
+def _lzp_inverse_py(src: np.ndarray, min_match: int = 64) -> np.ndarray:
     n = src.size
     if n < 4:
         raise ValueError("LZP: truncated")
@@ -245,7 +321,7 @@ def _lzp_inverse_py(src: np.ndarray) -> np.ndarray:
             ctx = ((ctx << 8) | 0xFC) & 0xFFFFFFFF
             i += 1
             continue
-        m_len = 64
+        m_len = min_match
         while i < n and src[i] == 0xFE:
             i += 1
             m_len += 254

@@ -48,13 +48,13 @@ def _lib():
                                                c.c_int32, c.c_int32, c.c_int32,
                                                i32p, i32p, u8p, c.c_int64, u8p,
                                                c.c_int64, u8p, c.c_int64, u8p,
-                                               c.c_int64]
+                                               c.c_int64, c.c_int32]
         lib.kz_rolz2_forward.restype = c.c_int64
         lib.kz_rolz2_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int64,
                                          c.c_int32, c.c_int32, c.c_int32]
         lib.kz_rolz2_inverse.restype = c.c_int64
         lib.kz_rolz2_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64,
-                                         c.c_int32, c.c_int32]
+                                         c.c_int32, c.c_int32, c.c_int32]
         lib._rolz_sigs = True
     return lib
 
@@ -67,6 +67,7 @@ class ROLZCodec:
     def __init__(self, ctx: dict | None = None, extra: bool = False) -> None:
         self.ctx = ctx
         self.extra = extra
+        self.bs_version = (ctx or {}).get("bsVersion", 7)
 
     def max_encoded_len(self, src_len: int) -> int:
         return src_len + 64 if src_len <= 512 else src_len
@@ -176,16 +177,20 @@ class ROLZCodec:
     def _inverse_x(self, src: np.ndarray, count, lib) -> np.ndarray:
         flags = int(src[4])
         min_match, delta = MIN_MATCH3, 2
-        if (flags & 0x0E) == 8:
-            delta = 3
-        elif (flags & 0x0E) == 4:
-            min_match, delta = MIN_MATCH7, 8
+        if self.bs_version >= 4:
+            if (flags & 0x0E) == 8:
+                delta = 3
+            elif (flags & 0x0E) == 4:
+                min_match, delta = MIN_MATCH7, 8
+        elif self.bs_version >= 3 and flags == 1:
+            min_match = MIN_MATCH7  # ROLZCodec.java:1328
         sz_block = int.from_bytes(src[0:4].tobytes(), "big")
         out = np.zeros(sz_block + 16, dtype=np.uint8)
         spad = np.zeros(src.size + 16, dtype=np.uint8)
         spad[:src.size] = src
+        first_lits = 2 if self.bs_version < 3 else 8
         n = lib.kz_rolz2_inverse(as_u8p(spad), src.size, as_u8p(out), sz_block,
-                                 min_match, delta)
+                                 min_match, delta, first_lits)
         if n < 0:
             raise ValueError("ROLZX inverse failed")
         res = out[:n]
@@ -212,13 +217,19 @@ class ROLZCodec:
         if not 2 <= log_pos_checks <= 8:
             raise ValueError("ROLZ: invalid logPosChecks")
         min_match, delta = MIN_MATCH3, 2
-        mode = flags & 0x0E
-        if mode == 2:
-            min_match, delta = MIN_MATCH4, 8
-        elif mode == 4:
-            min_match, delta = MIN_MATCH7, 8
-        elif mode == 8:
-            delta = 3
+        if self.bs_version >= 4:
+            mode = flags & 0x0E
+            if mode == 2:
+                min_match, delta = MIN_MATCH4, 8
+            elif mode == 4:
+                min_match, delta = MIN_MATCH7, 8
+            elif mode == 8:
+                delta = 3
+        elif self.bs_version >= 3:
+            if (flags & 0x06) == 0x02:
+                min_match = MIN_MATCH4  # ROLZCodec.java:762-766
+            elif (flags & 0x06) == 0x04:
+                min_match = MIN_MATCH7
 
         out = np.zeros(sz_block + 4 + 16, dtype=np.uint8)
         counters = np.zeros(65536, dtype=np.int32)
@@ -234,13 +245,14 @@ class ROLZCodec:
             ntk = br.read_bits(32)
             nlen = br.read_bits(32)
             nmidx = br.read_bits(32)
-            first_lit = min(size_chunk, 8)
+            first_lit = 2 if self.bs_version < 3 else min(size_chunk, 8)
             if nlit < first_lit or nlit > size_chunk or \
-                    (ntk == 0 and nmidx != 0) or (ntk > 0 and nmidx + 1 != ntk):
+                    (ntk == 0 and nmidx != 0) or \
+                    (self.bs_version >= 6 and ntk > 0 and nmidx + 1 != ntk):
                 raise ValueError("ROLZ: invalid stream lengths")
-            lit_dec = ANSRangeDecoder(br, lit_order)
+            lit_dec = ANSRangeDecoder(br, lit_order, bs_version=self.bs_version)
             lit = np.ascontiguousarray(lit_dec.decode(nlit))
-            m_dec = ANSRangeDecoder(br, 0, 32768)
+            m_dec = ANSRangeDecoder(br, 0, 32768, bs_version=self.bs_version)
             tk = np.ascontiguousarray(m_dec.decode(ntk))
             lenb = np.ascontiguousarray(np.concatenate(
                 [m_dec.decode(nlen), np.zeros(8, dtype=np.uint8)]))
@@ -256,7 +268,7 @@ class ROLZCodec:
                 as_u8p(out), start, end, dst_end, min_match, delta,
                 log_pos_checks, _i32p(counters), _i32p(matches),
                 as_u8p(lit), nlit, as_u8p(tk), ntk, as_u8p(lenb), nlen,
-                as_u8p(midx), nmidx)
+                as_u8p(midx), nmidx, first_lit)
             if rc != 0:
                 raise ValueError(f"ROLZ: chunk decode failed ({rc})")
             start = end

@@ -20,12 +20,16 @@ from ..core.types import TransformSkip
 from ..utils import native_transforms as nt
 
 
+MASK_TEXT_CODEC = 0x10  # TextCodec.java:51
+
+
 class TextCodec:
     def __init__(self, ctx: dict | None = None, **kw) -> None:
         self.ctx = ctx
         self.codec_type = (ctx or {}).get("textcodec", 1)
         self.block_size = (ctx or {}).get("blockSize", 4 * 1024 * 1024)
         self.extra = (ctx or {}).get("entropy", "") == "TPAQX"
+        self.bs_version = (ctx or {}).get("bsVersion", 7)
 
     def max_encoded_len(self, src_len: int) -> int:
         return src_len
@@ -45,14 +49,25 @@ class TextCodec:
             self.ctx["dataType"] = DataType(dt_ord)
         if res is None:
             raise TransformSkip("TEXT: not text or native kernel unavailable")
+        # v7: the header byte records which variant wrote the block
+        # (TextCodec.java:496-501)
+        if self.codec_type == 1:
+            res[0] &= ~MASK_TEXT_CODEC & 0xFF
+        else:
+            res[0] |= MASK_TEXT_CODEC
         return res
 
     def inverse(self, src: np.ndarray, count: int | None = None) -> np.ndarray:
         src = np.asarray(src, dtype=np.uint8)
         if src.size == 0:
             return src.copy()
-        res = nt.text_inverse_native(src, self.codec_type, self.block_size,
-                                     self.extra, count)
+        codec_type = self.codec_type
+        if self.bs_version >= 7:
+            # pick the variant from the header bit (TextCodec.java:523-528)
+            codec_type = 2 if (int(src[0]) & MASK_TEXT_CODEC) else 1
+        res = nt.text_inverse_native(src, codec_type, self.block_size,
+                                     self.extra, count,
+                                     legacy=self.bs_version < 6 and codec_type == 2)
         if res is None:
             raise NotImplementedError("TEXT inverse requires the native library")
         return res

@@ -51,6 +51,7 @@ def _validate(block: np.ndarray) -> bool:
 class UTFCodec:
     def __init__(self, ctx: dict | None = None, **kw) -> None:
         self.ctx = ctx
+        self.bs_version = (ctx or {}).get("bsVersion", 7)
 
     def max_encoded_len(self, src_len: int) -> int:
         return src_len + 8192
@@ -172,14 +173,18 @@ class UTFCodec:
         raw = s[pos:pos + 3 * n]
         packed = (raw[0::3] << 16) | (raw[1::3] << 8) | raw[2::3]
         pos += 3 * n
-        # unpack (V1)
-        cls = packed >> 19
+        if self.bs_version < 4:
+            # V0 packing: size class in bits 21-22 (UTFCodec.java:468-496)
+            cls = (packed >> 21) + 1
+            c0, c1, c2, c4 = cls == 1, cls == 2, cls == 3, cls == 4
+            bad = cls > 4
+        else:
+            # V1 packing: size class in bits 19-21
+            cls = packed >> 19
+            c0, c1, c2, c4 = cls == 0, cls == 1, cls == 2, cls >= 4
+            bad = cls == 3
         length = np.zeros(n, dtype=np.int64)
         value = np.zeros(n, dtype=np.int64)
-        c0 = cls == 0
-        c1 = cls == 1
-        c2 = cls == 2
-        c4 = cls >= 4
         length[c0] = 1
         value[c0] = packed[c0]
         length[c1] = 2
@@ -193,7 +198,7 @@ class UTFCodec:
                     ((((packed[c4] >> 12) & 0x3F) | 0x80) << 8) | \
                     ((((packed[c4] >> 6) & 0x3F) | 0x80) << 16) | \
                     (((packed[c4] & 0x3F) | 0x80) << 24)
-        if np.any(length == 0) or np.any(cls == 3):
+        if np.any(length == 0) or np.any(bad):
             raise ValueError("UTF: invalid packed symbol")
 
         head = src[pos:pos + start]

@@ -55,7 +55,8 @@ def _lib():
                                             c.c_int32, i32p]
             lib.kz_text_inverse.restype = c.c_int64
             lib.kz_text_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64,
-                                            c.c_int32, c.c_int64, c.c_int32]
+                                            c.c_int32, c.c_int64, c.c_int32,
+                                            c.c_int32]
             from ..transforms._text_dict import DICT_EN_1024
             d = np.frombuffer(DICT_EN_1024, dtype=np.uint8).copy()
             lib.kz_text_set_dict(as_u8p(d), d.size)
@@ -165,7 +166,8 @@ def text_forward_native(src: np.ndarray, codec_type: int, block_size: int,
 
 
 def text_inverse_native(src: np.ndarray, codec_type: int, block_size: int,
-                        extra: bool, count: int | None):
+                        extra: bool, count: int | None,
+                        legacy: bool = False):
     lib = _lib()
     if lib is None or not hasattr(lib, "kz_text_inverse"):
         return None
@@ -176,7 +178,8 @@ def text_inverse_native(src: np.ndarray, codec_type: int, block_size: int,
     while cap <= (1 << 30) + 2048:
         dst = np.empty(cap + 16, dtype=np.uint8)
         n = lib.kz_text_inverse(as_u8p(s), src.size, as_u8p(dst), cap,
-                                codec_type, block_size, 1 if extra else 0)
+                                codec_type, block_size, 1 if extra else 0,
+                                1 if legacy else 0)
         if n >= 0:
             return dst[:n].copy()
         if count is not None:

@@ -170,7 +170,7 @@ EXPORT i32 kz_rolz1_inverse_chunk(u8* dst, i64 chunk_start, i64 chunk_end,
                                   i32 log_pos_checks, i32* counters, i32* matches,
                                   const u8* lit, i64 lit_len, const u8* tk,
                                   i64 tk_len, const u8* lenb, i64 len_len,
-                                  const u8* midx, i64 midx_len) {
+                                  const u8* midx, i64 midx_len, i32 first_lits) {
     const i32 mask_checks = (1 << log_pos_checks) - 1;
     std::memset(matches, 0, sizeof(i32) * ((size_t)65536 << log_pos_checks));
     i64 nlit = 0, ntk = 0, nlen = 0, nmidx = 0;
@@ -195,7 +195,8 @@ EXPORT i32 kz_rolz1_inverse_chunk(u8* dst, i64 chunk_start, i64 chunk_end,
         return length;
     };
 
-    const i64 n = std::min(dst_end - dstIdx, (i64)8);
+    // pre-v3 bitstreams hardcode 2 initial literals (ROLZCodec.java:853)
+    const i64 n = (first_lits == 2) ? 2 : std::min(dst_end - dstIdx, (i64)first_lits);
     for (i64 j = 0; j < n; j++) dst[dstIdx++] = lit[nlit++];
 
     while (dstIdx < chunk_end) {
@@ -466,7 +467,7 @@ EXPORT i64 kz_rolz2_forward(const u8* src, i64 count, u8* dst, i64 cap,
 
 // Whole-block ROLZX decode.  Returns output size or -1.
 EXPORT i64 kz_rolz2_inverse(const u8* src, i64 count, u8* dst, i64 cap,
-                            i32 min_match, i32 delta) {
+                            i32 min_match, i32 delta, i32 first_lits) {
     if (count < 13) return -1;
     const i64 szBlock = ((i64)src[0] << 24) | ((i64)src[1] << 16) |
                         ((i64)src[2] << 8) | (i64)src[3];
@@ -486,7 +487,8 @@ EXPORT i64 kz_rolz2_inverse(const u8* src, i64 count, u8* dst, i64 cap,
         std::fill(matches.begin(), matches.end(), 0);
         const i64 endChunk = std::min(startChunk + chunk_size, dst_end);
         i64 dstIdx = out_index;
-        const i64 n = std::min(dst_end - startChunk, (i64)8);
+        const i64 n = (first_lits == 2) ? 2
+                      : std::min(dst_end - startChunk, (i64)first_lits);
         C.set_ctx(LIT_CTX, 0);
         for (i64 j = 0; j < n; j++) {
             const i32 val1 = C.dec9();

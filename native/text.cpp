@@ -466,8 +466,11 @@ EXPORT i64 kz_text_forward(const u8* src, i64 count, u8* dst, i64 cap,
     return -1;
 }
 
+// legacy != 0 selects the pre-v6 TextCodec2 word-index varint
+// (TextCodec.java:1499-1519: flip bit 0x20, 5+7+7-bit index, 0-based).
 EXPORT i64 kz_text_inverse(const u8* src, i64 count, u8* dst, i64 cap,
-                           i32 codec_type, i64 block_size_hint, i32 extra_perf) {
+                           i32 codec_type, i64 block_size_hint, i32 extra_perf,
+                           i32 legacy) {
     if (g_static_words == 0) return -2;
     init_delims();
     const bool t1 = codec_type == 1;
@@ -523,6 +526,23 @@ EXPORT i64 kz_text_inverse(const u8* src, i64 count, u8* dst, i64 cap,
                     if (idx >= D.dictSize) return -1;
                 }
                 flipMask = (cur == ESCAPE_TOKEN2) ? 0x20 : 0;
+            }
+        } else if (legacy) {
+            isWordRef = (cur & 0x80) != 0;
+            if (isWordRef) {
+                flipMask = cur & 0x20;
+                idx = cur & 0x1F;
+                if (cur & 0x40) {
+                    if (srcIdx >= count) return -1;
+                    i32 idx2 = (int8_t)src[srcIdx++];
+                    if (idx2 & 0x80) {
+                        idx = (idx << 7) | (idx2 & 0x7F);
+                        if (srcIdx >= count) return -1;
+                        idx2 = src[srcIdx++] & 0x7F;
+                    }
+                    idx = (idx << 7) | (idx2 & 0xFF);
+                    if (idx >= D.dictSize) return -1;
+                }
             }
         } else {
             isWordRef = (cur & 0x80) != 0;
