@@ -74,7 +74,7 @@ def _lookup(syms_i32: jax.Array, tables: jax.Array) -> jax.Array:
 # kernel 2: the sequential rANS state scan, all lanes in lockstep
 # ---------------------------------------------------------------------------
 
-def _scan_kernel(lk_ref, emit_ref, st_out_ref, st_ref):
+def _scan_kernel(lk_ref, emit_ref, st_out_ref, st_ref, *, lr: int = LOG_RANGE):
     sb = lk_ref.shape[0]
 
     @pl.when(pl.program_id(1) == 0)
@@ -82,11 +82,12 @@ def _scan_kernel(lk_ref, emit_ref, st_out_ref, st_ref):
         st_ref[:] = jnp.full_like(st_ref, ANS_TOP)
 
     def body(i, _):
-        lk = lk_ref[i]                         # (R, 128) packed f | cum<<12
-        f = jnp.bitwise_and(lk, SCALE - 1)
-        cm = jnp.right_shift(lk, LOG_RANGE)
+        lk = lk_ref[i]                         # (R, 128) packed f | cum<<lr
+        f = jnp.bitwise_and(lk, (1 << lr) - 1)
+        cm = jnp.right_shift(lk, lr)
         st = st_ref[:]
-        em = jnp.right_shift(st, 19) >= f      # st >= f << 19
+        # emit when st >= ((ANS_TOP >> lr) << 16) * f  <=>  st >> (31-lr) >= f
+        em = jnp.right_shift(st, 31 - lr) >= f
         val = jnp.bitwise_and(st, 0xFFFF)
         st1 = jnp.where(em, jnp.right_shift(st, 16), st)
         # exact st1 // f: f32 estimate + one residual correction
@@ -94,7 +95,7 @@ def _scan_kernel(lk_ref, emit_ref, st_out_ref, st_ref):
         r = st1 - q * f
         q = q + jnp.where(r < 0, -1, 0) + jnp.where(r >= f, 1, 0)
         r = st1 - q * f
-        st_ref[:] = jnp.left_shift(q, LOG_RANGE) + r + cm
+        st_ref[:] = jnp.left_shift(q, lr) + r + cm
         emit_ref[i] = jnp.where(em, jnp.bitwise_or(jnp.left_shift(em.astype(jnp.int32), 16), val), 0)
         return 0
 
@@ -102,7 +103,8 @@ def _scan_kernel(lk_ref, emit_ref, st_out_ref, st_ref):
     st_out_ref[:] = st_ref[:]
 
 
-def _scan(lk: jax.Array, step_block: int = 128, lane_block: int = 16):
+def _scan(lk: jax.Array, step_block: int = 128, lane_block: int = 16,
+          lr: int = LOG_RANGE):
     """lk (S, R, 128) int32 -> emit (S, R, 128) int32, states (R, 128).
 
     Grid = (lane tiles, step blocks); steps iterate fastest so the per-tile
@@ -111,7 +113,7 @@ def _scan(lk: jax.Array, step_block: int = 128, lane_block: int = 16):
     s, r, _ = lk.shape
     rb = min(lane_block, r)
     emit, st = pl.pallas_call(
-        _scan_kernel,
+        functools.partial(_scan_kernel, lr=lr),
         grid=(r // rb, s // step_block),
         in_specs=[pl.BlockSpec((step_block, rb, 128), lambda i, j: (j, i, 0),
                                memory_space=pltpu.VMEM)],
@@ -490,6 +492,106 @@ def _pad_rows(n: int) -> int:
     once several lane tiles are needed, so tiles divide evenly)."""
     m = (n + 31) & ~31
     return m if m <= 512 else (n + 511) & ~511
+
+
+# ---------------------------------------------------------------------------
+# order-1 (bigram) table lookup: MXU one-hot over the high 9 index bits,
+# elementwise one-hot reduction over the low 7 — no XLA gather, no
+# sublane-direction addressing.  idx = ctx*256 + sym in [0, 65536); the
+# packed (freq | cum << 11) values are < 2^22, exact in f32 (HIGHEST).
+# ---------------------------------------------------------------------------
+
+LOG_RANGE1 = 11          # order-1 logRange (ANSRangeEncoder.java:125)
+CHUNK1 = CHUNK << 8      # 4 MiB wire chunks (ANSRangeEncoder.java:126)
+
+
+def _lookup1_kernel(ctx_ref, sym_ref, tbl_ref, out_ref):
+    rows = ctx_ref.shape[1]
+    tbl = tbl_ref[0]                                       # (512, 128) f32
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    dn = (((0,), (0,)), ((), ()))
+    for r in range(rows):
+        ctx = ctx_ref[0, r][None, :].astype(jnp.int32)     # (1, 128)
+        sym = sym_ref[0, r][None, :].astype(jnp.int32)
+        hi = ctx * 2 + jnp.right_shift(sym, 7)
+        lo = jnp.bitwise_and(sym, 127)
+        oht = (iota_hi == hi).astype(jnp.float32)          # (512, 128)
+        # R[l, p] = sum_h tbl[h, l] * oht[h, p] : full-tile MXU contraction
+        R = jax.lax.dot_general(tbl, oht, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        ohlo = (iota_lo == lo).astype(jnp.float32)
+        out_ref[0, r] = jnp.sum(R * ohlo, axis=0).astype(jnp.int32)
+
+
+def _lookup1(ctx_u8: jax.Array, sym_u8: jax.Array, tbl: jax.Array,
+             rows_per_cell: int = 32) -> jax.Array:
+    """ctx/sym (N, C) uint8, tbl (N, 512, 128) f32 -> (N, C) int32 packed."""
+    n, c = ctx_u8.shape
+    rc = rows_per_cell
+    ctx2 = ctx_u8.reshape(n, c // 128, 128)
+    sym2 = sym_u8.reshape(n, c // 128, 128)
+    out = pl.pallas_call(
+        _lookup1_kernel,
+        grid=(n, (c // 128) // rc),
+        in_specs=[
+            pl.BlockSpec((1, rc, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rc, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 512, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rc, 128), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c // 128, 128), jnp.int32),
+    )(ctx2, sym2, tbl)
+    return out.reshape(n, c)
+
+
+@jax.jit
+def ans1_encode_chunks_pallas(chunks: jax.Array, freq: jax.Array,
+                              cum: jax.Array):
+    """Order-1 encode of full 4 MiB wire chunks on device.
+
+    chunks (N, C) uint8 (C == CHUNK1, 4 lanes = quarters, context = previous
+    byte resetting at quarter starts — entropy/ans.py _lane_layout_order1);
+    freq/cum (N, 256, 256) int32 normalized per context (sum = 2048).
+    Returns (payload_u16 (N, C), n_emit_tiles (N, C // CHUNK, 128) per-tile
+    counts, states (N, 4)); the host stitches tile payload prefixes in order.
+    """
+    n, c = chunks.shape
+    q = c // 4
+    lr = LOG_RANGE1
+    fcap = jnp.minimum(freq, (1 << lr) - 1)
+    packed = jnp.bitwise_or(fcap, jnp.left_shift(cum, lr)).astype(jnp.float32)
+    tbl = packed.reshape(n, 256 * 256 // 128, 128)          # [hi, lo] layout
+    # context = previous byte, 0 at quarter starts
+    prev = jnp.roll(chunks, 1, axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    ctx = jnp.where((pos % q) == 0, 0, prev).astype(jnp.uint8)
+    lkf = _lookup1(ctx, chunks, tbl)                        # (N, C) int32
+
+    # scan order: lane k = quarter k walked backward (host _lane_layout_order1
+    # has no lane reversal, unlike order 0); flat lane e = k*N + n, padded to
+    # whole 128-lane rows with inert (f=1, cum=0) entries
+    x = lkf.reshape(n, 4, q)[:, :, ::-1]                    # (N, k, t)
+    flat = x.transpose(2, 1, 0).reshape(q, 4 * n)
+    lanes = max(128, ((4 * n + 127) // 128) * 128)
+    if lanes != 4 * n:
+        flat = jnp.pad(flat, ((0, 0), (0, lanes - 4 * n)), constant_values=1)
+    lk = flat.reshape(q, lanes // 128, 128)
+    emit, st = _scan(lk, lr=lr)
+    states = st.reshape(lanes)[:4 * n].reshape(4, n).T.astype(jnp.int32)
+
+    # forward payload: step-major over the whole chunk, lanes 3..0 per step
+    e = emit.reshape(q, lanes)[:, :4 * n]
+    e = e.reshape(q, 4, n).transpose(2, 0, 1)[:, ::-1, ::-1]  # (N, q, 4)
+    e = e.reshape(n * (c // CHUNK), CHUNK // 128, 128)      # 16 KiB tiles
+    pay_i32, cnt = _compact(e)
+    payload = pay_i32.reshape(n, c).astype(jnp.uint16)
+    return payload, cnt.reshape(n, c // CHUNK, 128), states
 
 
 @jax.jit

@@ -226,3 +226,64 @@ def test_pallas_wire_round_trip():
     br = BitReader(bw.getvalue())
     out = ANSRangeDecoder(br, 0).decode(len(data))
     assert np.array_equal(np.asarray(out, np.uint8), data)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
+def test_ans1_device_matches_host_wire():
+    """Device order-1 encode (MXU bigram lookup + lr=11 scan + tile compact)
+    assembled into wire bytes must equal the host ANSRangeEncoder output."""
+    from kanzi_tpu.core.bits import BitWriter
+    from kanzi_tpu.entropy import utils as eu
+    from kanzi_tpu.entropy.ans import (ANSRangeEncoder, _order1_histogram,
+                                       _write_freqs_header)
+    from kanzi_tpu.ops.ans_pallas import CHUNK, CHUNK1, LOG_RANGE1, \
+        ans1_encode_chunks_pallas
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    # markov-ish data so contexts matter
+    base = (rng.zipf(1.3, CHUNK1) % 61).astype(np.uint8)
+    data = np.convolve(base, np.ones(3), "same").astype(np.uint8) % 67
+
+    # host-side per-context tables (mirrors _encode_chunk order-1 prep)
+    scale = 1 << LOG_RANGE1
+    hist2 = _order1_histogram(data.astype(np.int64))
+    freq = np.zeros((256, 256), dtype=np.int64)
+    alphas = []
+    for k in range(256):
+        fk = hist2[k].copy()
+        alpha = eu.normalize_frequencies(fk, int(hist2[k].sum()), scale)
+        alphas.append(alpha)
+        freq[k] = fk
+    cum = np.concatenate([np.zeros((256, 1), np.int64),
+                          np.cumsum(freq, axis=1)[:, :-1]], axis=1)
+
+    payload, cnt, states = ans1_encode_chunks_pallas(
+        jnp.asarray(data[None]), jnp.asarray(freq[None], jnp.int32),
+        jnp.asarray(cum[None], jnp.int32))
+    payload = np.asarray(payload[0])
+    cnt = np.asarray(cnt[0])
+    states = np.asarray(states[0])
+
+    # assemble the wire chunk exactly as entropy/ans.py _encode_chunk does
+    bw = BitWriter()
+    bw.write_bits(LOG_RANGE1 - 8, 3)
+    for k in range(256):
+        _write_freqs_header(bw, alphas[k], freq[k], LOG_RANGE1)
+    tiles = CHUNK1 // CHUNK
+    parts = []
+    for t in range(tiles):
+        n_words = int(cnt[t].sum())
+        words = payload[t * CHUNK:t * CHUNK + n_words]
+        parts.append(words.astype(">u2").tobytes())
+    blob = b"".join(parts)
+    eu.write_varint(bw, len(blob))
+    for j in range(4):
+        bw.write_bits(int(states[j]), 32)
+    bw.write_bytes(blob)
+    device_bytes = bw.getvalue()
+
+    bw2 = BitWriter()
+    ANSRangeEncoder(bw2, 1).encode(data)
+    host_bytes = bw2.getvalue()
+    assert device_bytes == host_bytes
