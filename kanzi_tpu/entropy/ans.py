@@ -161,6 +161,8 @@ class ANSRangeEncoder:
         bw = bw or self.bw
         block = np.asarray(block, dtype=np.uint8)
         count = block.size
+        if self._device_path(block, bw):
+            return count
         from ..utils.native_coders import ans_encode_native
         if ans_encode_native(block, bw, self.order, self._chunk_size0,
                              self._log_range0):
@@ -174,6 +176,36 @@ class ANSRangeEncoder:
             self._encode_chunk(block[start:end], bw)
             start = end
         return count
+
+    def _device_path(self, block: np.ndarray, bw: BitWriter) -> bool:
+        """Run the whole encode through the TPU kernels (ops/ans_block).
+
+        Default off: the axon tunnel's ~30 MB/s bulk transfer loses to the
+        native host path; on directly-attached TPUs enable with
+        KANZI_TPU_DEVICE_ANS=1 (the kernels themselves run at 2.4+ GB/s —
+        see PARITY.md).  Requires the default chunk size / log range (the
+        kernels bake in 16 KiB / lr12 (order 0) and 4 MiB / lr11 (order 1)).
+        """
+        import os
+        if os.environ.get("KANZI_TPU_DEVICE_ANS", "0") != "1":
+            return False
+        if (self._chunk_size0 != DEFAULT_ANS0_CHUNK_SIZE
+                or self._log_range0 != DEFAULT_LOG_RANGE):
+            return False
+        if block.size < (self.chunk_size if self.order else 4 * self.chunk_size):
+            return False
+        try:
+            import jax
+            if jax.default_backend() != "tpu":
+                return False
+            from ..ops import ans_block
+        except Exception:
+            return False
+        if self.order == 0:
+            ans_block.ans0_encode(block, bw)
+        else:
+            ans_block.ans1_encode(block, bw)
+        return True
 
     def _encode_chunk(self, seg: np.ndarray, bw: BitWriter) -> None:
         lr = self.log_range

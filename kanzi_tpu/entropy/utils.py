@@ -139,17 +139,20 @@ def normalize_frequencies(freqs: np.ndarray, total_freq: int, scale: int) -> np.
     return np.array(alphabet, dtype=np.int32)
 
 
-def normalize_frequencies_batch(hist: np.ndarray, total_freq: int,
+def normalize_frequencies_batch(hist: np.ndarray, total_freq,
                                 scale: int) -> np.ndarray:
     """Vectorized ``normalize_frequencies`` over a batch of histograms.
 
-    ``hist`` is (n, 256) with each row summing to ``total_freq`` (full
-    chunks); rows violating that are normalized with the scalar routine.
+    ``hist`` is (n, 256); ``total_freq`` is a scalar (full chunks) or an
+    (n,) per-row total vector (order-1 context tables).  Rows whose sum
+    disagrees with their total are normalized with the scalar routine.
     Returns the normalized (n, 256) int64 frequency matrix; alphabets are
     recovered by the caller as ``np.nonzero(hist[i])``.  Bit-exact with the
     scalar path (EntropyUtils.java:141-250): same half-up scaling, same
     running first-argmax, same bounded 5-round error spreading in symbol
-    order with the ``freq > 2`` eligibility re-evaluated per round.
+    order with the ``freq > 2`` eligibility re-evaluated per round (the
+    scalar path's ``sum_freq >= total_freq`` early break is a no-op when
+    the row sums to its total, which holds for every row handled here).
     """
     hist = np.asarray(hist, dtype=np.int64)
     n = hist.shape[0]
@@ -157,21 +160,24 @@ def normalize_frequencies_batch(hist: np.ndarray, total_freq: int,
     if n == 0:
         return freq
     row_tot = hist.sum(axis=1)
-    irregular = np.flatnonzero(row_tot != total_freq)
+    totals = np.broadcast_to(np.asarray(total_freq, dtype=np.int64), (n,))
+    irregular = np.flatnonzero((row_tot != totals) & (row_tot != 0))
     for i in irregular:  # rare: delegate to the exact scalar routine
         f = hist[i].copy()
-        normalize_frequencies(f, int(row_tot[i]) if row_tot[i] else total_freq, scale)
+        normalize_frequencies(f, int(row_tot[i]), scale)
         freq[i] = f
-    rows = np.flatnonzero(row_tot == total_freq)
-    if rows.size == 0 or total_freq == scale:
+    rows = np.flatnonzero((row_tot == totals) & (row_tot != 0)
+                          & (row_tot != scale))
+    if rows.size == 0:
         return freq
     h = hist[rows]
+    t = totals[rows][:, None]
     nz = h > 0
     asize = nz.sum(axis=1)
     # scaling pass (the scalar early-break is a no-op when the row sums to
     # total_freq exactly, which holds for every row handled here)
     sf = h * scale
-    scaled = np.where(sf <= total_freq, 1, (sf + (total_freq >> 1)) // total_freq)
+    scaled = np.where(sf <= t, 1, (sf + (t >> 1)) // t)
     scaled = np.where(nz, scaled, 0)
     f = scaled.copy()
     idx_max = np.argmax(scaled, axis=1)  # first max, zeros never win vs >=1

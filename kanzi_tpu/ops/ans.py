@@ -101,6 +101,59 @@ def ans0_encode_chunks(chunks: jax.Array, freq: jax.Array, cum: jax.Array):
     return payload.astype(jnp.uint16), n_emit, states
 
 
+LOG_RANGE1 = 11               # order-1 logRange (ANSRangeEncoder.java:125)
+SCALE1 = 1 << LOG_RANGE1
+
+
+@jax.jit
+def ans1_encode_chunks(chunks: jax.Array, freq: jax.Array, cum: jax.Array):
+    """Order-1 (bigram-context) encode in lockstep — XLA path (CPU mesh,
+    tests; the TPU path is ops/ans_pallas.ans1_encode_chunks_pallas).
+
+    Args:
+      chunks: uint8 [N, C]; lane j encodes quarter j backward, context =
+              previous byte resetting at quarter starts
+              (entropy/ans.py _lane_layout_order1)
+      freq:   int32 [N, 256, 256] per-context normalized freqs (sum = 2048)
+      cum:    int32 [N, 256, 256] exclusive cumulative freqs
+    Returns:
+      payload_u16 [N, C] forward-order compacted; n_emit [N]; states [N, 4]
+    """
+    n, c = chunks.shape
+    q = c // 4
+    fcap = jnp.minimum(freq, SCALE1 - 1)
+    packed = jnp.bitwise_or(fcap, cum << LOG_RANGE1).reshape(n, 65536)
+    sym = chunks.astype(jnp.int32)
+    prev = jnp.roll(sym, 1, axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    ctx = jnp.where((pos % q) == 0, 0, prev)
+    lk = jnp.take_along_axis(packed, ctx * 256 + sym, axis=1)   # (N, C)
+    xs = jnp.transpose(lk.reshape(n, 4, q)[:, :, ::-1], (2, 1, 0))  # (q,4,N)
+
+    def step(st, lkt):
+        f = lkt & (SCALE1 - 1)
+        cm = lkt >> LOG_RANGE1
+        em = (st >> 20) >= f          # st >= f << 20 ((ANS_TOP>>11) << 16)
+        val = st & 0xFFFF
+        st1 = jnp.where(em, st >> 16, st)
+        qt = (st1.astype(jnp.float32) / f.astype(jnp.float32)).astype(jnp.int32)
+        r = st1 - qt * f
+        qt = jnp.where(r < 0, qt - 1, jnp.where(r >= f, qt + 1, qt))
+        r = st1 - qt * f
+        st2 = (qt << LOG_RANGE1) + r + cm
+        return st2, (em, val)
+
+    st0 = jnp.full((4, n), ANS_TOP, dtype=jnp.int32)
+    states_t, (flags, vals) = jax.lax.scan(step, st0, xs)
+    # forward payload order: reverse steps, lanes 3..0
+    flags_f = jnp.transpose(flags, (2, 0, 1))[:, ::-1, ::-1].reshape(n, -1)
+    vals_f = jnp.transpose(vals, (2, 0, 1))[:, ::-1, ::-1].reshape(n, -1)
+    posn = jnp.cumsum(flags_f, axis=1, dtype=jnp.int32)
+    key = jnp.where(flags_f, posn - 1, c + posn)
+    _, payload = jax.lax.sort_key_val(key, vals_f, dimension=1)
+    return payload.astype(jnp.uint16), posn[:, -1], states_t.T
+
+
 @functools.partial(jax.jit, static_argnames=("chunk_size",))
 def ans0_decode_chunks(payload: jax.Array, states: jax.Array,
                        freq: jax.Array, cum: jax.Array,

@@ -108,6 +108,79 @@ def ans0_encode(block: np.ndarray, bw: BitWriter) -> int:
     return count
 
 
+CHUNK1 = CHUNK << 8  # 4 MiB order-1 wire chunks (ANSRangeEncoder.java:126)
+
+
+def ans1_encode(block: np.ndarray, bw: BitWriter) -> int:
+    """Drop-in for ANSRangeEncoder(order=1).encode with the scan on device.
+
+    Host: per-chunk order-1 context histograms + exact per-row reference
+    normalization (wire-identical headers) + bitstream assembly.
+    Device: bigram table lookup + the 4-lane rANS scan + payload compaction
+    (Pallas on TPU, XLA elsewhere).
+    """
+    import jax
+    import jax.numpy as jnp
+    block = np.asarray(block, dtype=np.uint8)
+    count = block.size
+    if count <= 32:
+        bw.write_bytes(block.tobytes())
+        return count
+    nfull = count // CHUNK1
+    tail = count - nfull * CHUNK1
+    if nfull > 0:
+        chunks = block[:nfull * CHUNK1].reshape(nfull, CHUNK1)
+        scale = 1 << jans.LOG_RANGE1
+        freq = np.zeros((nfull, 256, 256), dtype=np.int64)
+        for i in range(nfull):
+            h2 = hans._order1_histogram(chunks[i].astype(np.int64))
+            freq[i] = eu.normalize_frequencies_batch(
+                h2, h2.sum(axis=1), scale)
+        cum = np.concatenate(
+            [np.zeros((nfull, 256, 1), dtype=np.int64),
+             np.cumsum(freq, axis=2)[:, :, :-1]], axis=2)
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            from .ans_pallas import ans1_encode_chunks_pallas
+            pay_d, cnt_d, st_d = ans1_encode_chunks_pallas(
+                jnp.asarray(chunks), jnp.asarray(freq, jnp.int32),
+                jnp.asarray(cum, jnp.int32))
+            payload = np.asarray(pay_d)
+            tile_counts = np.asarray(cnt_d)     # (N, CHUNK1//CHUNK, 128)
+            states = np.asarray(st_d)
+        else:
+            pay_d, ne_d, st_d = jans.ans1_encode_chunks(
+                jnp.asarray(chunks), jnp.asarray(freq, jnp.int32),
+                jnp.asarray(cum, jnp.int32))
+            payload = np.asarray(pay_d)
+            n_emit = np.asarray(ne_d)
+            states = np.asarray(st_d)
+        for i in range(nfull):
+            bw.write_bits(jans.LOG_RANGE1 - 8, 3)
+            for k in range(256):
+                alpha = np.flatnonzero(freq[i, k]).astype(np.int32)
+                hans._write_freqs_header(bw, alpha, freq[i, k],
+                                         jans.LOG_RANGE1)
+            if on_tpu:
+                # stitch per-16KiB-tile payload prefixes in tile order
+                parts = []
+                for t in range(CHUNK1 // CHUNK):
+                    nw = int(tile_counts[i, t].sum())
+                    parts.append(payload[i, t * CHUNK:t * CHUNK + nw])
+                words = np.concatenate(parts)
+            else:
+                words = payload[i, :int(n_emit[i])]
+            pay = words.astype(">u2").tobytes()
+            eu.write_varint(bw, len(pay))
+            for j in range(4):
+                bw.write_bits(int(states[i, j]), 32)
+            bw.write_bytes(pay)
+    if tail:
+        enc = hans.ANSRangeEncoder(bw, 1)
+        enc._encode_chunk(block[nfull * CHUNK1:], bw)
+    return count
+
+
 def ans0_decode(count: int, br: BitReader) -> np.ndarray:
     """Drop-in for ANSRangeDecoder(order=0).decode with the scan on TPU."""
     import jax.numpy as jnp

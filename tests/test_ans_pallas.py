@@ -287,3 +287,44 @@ def test_ans1_device_matches_host_wire():
     ANSRangeEncoder(bw2, 1).encode(data)
     host_bytes = bw2.getvalue()
     assert device_bytes == host_bytes
+
+
+def test_ans1_xla_glue_matches_host_wire():
+    """CPU path of ans_block.ans1_encode (XLA gather + scan) must produce
+    the exact host ANSRangeEncoder(order=1) wire bytes, incl. a tail."""
+    from kanzi_tpu.core.bits import BitReader, BitWriter
+    from kanzi_tpu.entropy.ans import ANSRangeDecoder, ANSRangeEncoder
+    from kanzi_tpu.ops.ans_block import CHUNK1, ans1_encode
+
+    rng = np.random.default_rng(11)
+    base = (rng.zipf(1.4, CHUNK1 + 70000) % 53).astype(np.uint8)
+    data = np.convolve(base, np.ones(2), "same").astype(np.uint8) % 59
+
+    bw = BitWriter()
+    assert ans1_encode(data, bw) == data.size
+    device_bytes = bw.getvalue()
+
+    bw2 = BitWriter()
+    ANSRangeEncoder(bw2, 1).encode(data)
+    assert device_bytes == bw2.getvalue()
+
+    out = ANSRangeDecoder(BitReader(device_bytes), 1).decode(data.size)
+    assert np.array_equal(np.asarray(out, np.uint8), data)
+
+
+def test_ans1_per_row_normalization_matches_scalar():
+    from kanzi_tpu.entropy import utils as eu
+
+    rng = np.random.default_rng(3)
+    hist = np.zeros((300, 256), dtype=np.int64)
+    for i in range(300):
+        k = rng.integers(0, 257)
+        if k:
+            idx = rng.choice(256, size=k, replace=False)
+            hist[i, idx] = rng.integers(1, 5000, size=k)
+    totals = hist.sum(axis=1)
+    out = eu.normalize_frequencies_batch(hist, totals, 2048)
+    for i in range(300):
+        f = hist[i].copy()
+        eu.normalize_frequencies(f, int(totals[i]), 2048)
+        assert np.array_equal(out[i], f)
