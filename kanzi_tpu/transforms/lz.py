@@ -44,6 +44,17 @@ class LZXCodec:
                 min_match = 6
             elif dt == DataType.SMALL_ALPHABET:
                 raise TransformSkip("LZX: small alphabet")
+        import os
+        if os.environ.get("KANZI_TPU_DEVICE_LZ", "0") == "1" and count >= 4096:
+            # device parse (ops/lz_tpu): sort-ladder match finding + scan
+            # parse on the JAX device; typically 6-10% smaller output than
+            # the serial hash-chain parse (see tests/test_lz_tpu.py), slower
+            # on this host's tunneled chip — opt-in.
+            from ..ops.lz_tpu import lzx_forward_device
+            res = lzx_forward_device(src, self.extra, min_match)
+            if res is None:
+                raise TransformSkip("LZX: no gain")
+            return res
         res = nt.lzx_forward_native(src, self.extra, min_match)
         if res is None:
             raise TransformSkip("LZX: native kernel unavailable")
