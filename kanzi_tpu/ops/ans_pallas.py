@@ -331,7 +331,7 @@ def _compact(e: jax.Array, chunks_per_cell: int = 8):
 
 
 # ---------------------------------------------------------------------------
-# kernel 4: rANS decode — 32 chunks per cell, one chunk per sublane row
+# kernel 4: rANS decode — 64 chunks per cell, one chunk per sublane row
 # ---------------------------------------------------------------------------
 #
 # Decode is bit-serial per chunk (the next slot depends on the renormalized
@@ -344,7 +344,7 @@ def _compact(e: jax.Array, chunks_per_cell: int = 8):
 # chunk, refilled every 16 steps by scalar-indexed row copies (a chunk
 # consumes at most 8 bytes per step).
 
-_DEC_ROWS = 32           # chunks per grid cell
+_DEC_ROWS = 64           # chunks per grid cell
 _DEC_PAY_ROWS = 130      # 33 KiB of payload per chunk as 16-bit words
 
 
