@@ -340,9 +340,13 @@ def _compact(e: jax.Array, chunks_per_cell: int = 8):
 # row (two operand halves), looked up with lane-direction dynamic_gather:
 #   * symbol: 8-step binary search over the inclusive bounds (cum+freq)
 #   * freq/cum: one gather into the packed (f | cum<<12) table
-# Payload bytes stream through a 256-byte tile-aligned VMEM window per
-# chunk, refilled every 16 steps by scalar-indexed row copies (a chunk
-# consumes at most 8 bytes per step).
+# Payload bytes stream through a 512-byte tile-aligned VMEM window per
+# chunk (two 128-word tiles), refilled every 16 steps by scalar-indexed
+# row copies (a chunk consumes at most 8 bytes per step, so offset<256 +
+# 128 consumed stays inside the window).  Decoded symbols are packed
+# 4-per-word before the VMEM->HBM store, so a grid cell's output tile is
+# 1 MiB instead of 4 MiB (fits scoped VMEM with double buffering at any
+# batch size).
 
 _DEC_ROWS = 64           # chunks per grid cell
 _DEC_PAY_ROWS = 130      # 33 KiB of payload per chunk as 16-bit words
@@ -350,7 +354,7 @@ _DEC_PAY_ROWS = 130      # 33 KiB of payload per chunk as 16-bit words
 
 def _decode_kernel(tlo_ref, thi_ref, bnd_ref, st0_ref, pay_ref,
                    out_ref, used_ref,
-                   st_scr, w0, w1, base_scr, ptr_scr, sym_scr):
+                   st_scr, w0, w1, ptr_scr, sym_scr, pack_scr):
     rows = _DEC_ROWS
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
 
@@ -366,13 +370,14 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, st0_ref, pay_ref,
         return jnp.where(idx < 128, g_lo, g_hi)
 
     def outer(o, _):
-        # ---- refill the per-chunk payload word windows (tile-aligned) ----
-        base_scr[:] = jnp.left_shift(jnp.right_shift(ptr_scr[:], 8), 8)
+        # ---- refill the per-chunk payload word windows (tile-aligned).
+        # Scalar-indexed row copies; measured cheaper than a batched one-hot
+        # matmul (tiny-M batched dot_general lowers to 64 serial MXU passes).
+        base = jnp.left_shift(jnp.right_shift(ptr_scr[:], 8), 8)  # (rows,128)
         for q in range(rows):
-            row = jnp.right_shift(base_scr[q, 0], 8)
+            row = jnp.right_shift(base[q, 0], 8)
             w0[q, :] = pay_ref[q, pl.ds(row, 1), :][0]
             w1[q, :] = pay_ref[q, pl.ds(row + 1, 1), :][0]
-        base = base_scr[:]                                  # (rows,128)
 
         def inner(j, _):
             st = st_scr[:]
@@ -417,8 +422,21 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, st0_ref, pay_ref,
 
         @pl.when(jnp.bitwise_and(o, 1) == 1)
         def _():
-            t = jnp.right_shift(o, 1)
-            out_ref[:, pl.ds(t * 128, 128)] = sym_scr[:]
+            # pack the 128 accumulated symbols 4-per-word into the quarter
+            # tile (o>>1)&3 of pack_scr, flush every 8 outer iterations
+            s = sym_scr[:]
+            p = (s | jnp.left_shift(pltpu.roll(s, 127, 1), 8)
+                 | jnp.left_shift(pltpu.roll(s, 126, 1), 16)
+                 | jnp.left_shift(pltpu.roll(s, 125, 1), 24))
+            pw = jnp.take_along_axis(p, jnp.bitwise_and(jnp.left_shift(lane, 2), 127), axis=1)
+            q = jnp.bitwise_and(jnp.right_shift(o, 1), 3)
+            keep = jnp.right_shift(lane, 5) == q
+            pack_scr[:] = jnp.where(keep, pw, pack_scr[:])
+
+            @pl.when(jnp.bitwise_and(o, 7) == 7)
+            def _():
+                t = jnp.right_shift(o, 3)
+                out_ref[:, pl.ds(t * 128, 128)] = pack_scr[:]
         return 0
 
     jax.lax.fori_loop(0, 256, outer, 0)
@@ -426,9 +444,9 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, st0_ref, pay_ref,
 
 
 def _decode(tlo, thi, bnd, st0, pay):
-    """All args row-padded to N % 32 == 0.  pay is (N, 130, 128) int32
-    big-endian 16-bit words.  Returns out (N, 16384) int32 symbols and
-    used (N, 128) byte counts."""
+    """All args row-padded to N % 64 == 0.  pay is (N, 130, 128) int32
+    big-endian 16-bit words.  Returns out (N, 4096) int32 little-endian
+    4-packed symbols and used (N, 128) byte counts."""
     n = tlo.shape[0]
     r = _DEC_ROWS
     return pl.pallas_call(
@@ -439,21 +457,21 @@ def _decode(tlo, thi, bnd, st0, pay):
         + [pl.BlockSpec((r, _DEC_PAY_ROWS, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((r, CHUNK), lambda i: (i, 0),
+            pl.BlockSpec((r, CHUNK // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, CHUNK), jnp.int32),
+            jax.ShapeDtypeStruct((n, CHUNK // 4), jnp.int32),
             jax.ShapeDtypeStruct((n, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((r, 128), jnp.int32),   # states
             pltpu.VMEM((r, 128), jnp.int32),   # window tile 0
             pltpu.VMEM((r, 128), jnp.int32),   # window tile 1
-            pltpu.VMEM((r, 128), jnp.int32),   # window base offsets
             pltpu.VMEM((r, 128), jnp.int32),   # byte pointers
             pltpu.VMEM((r, 128), jnp.int32),   # symbol accumulation tile
+            pltpu.VMEM((r, 128), jnp.int32),   # packed-output tile
         ],
     )(tlo, thi, bnd, st0, pay)
 
@@ -484,7 +502,11 @@ def ans0_decode_chunks_pallas(payload: jax.Array, states: jax.Array,
     bnd = jnp.bitwise_or(bounds[:, 0::2],
                          jnp.left_shift(bounds[:, 1::2], 16)).astype(jnp.int32)
     st0 = jnp.pad(states.astype(jnp.int32), ((0, 0), (0, 124)))
-    out, used = _decode(tbl[:, :128], tbl[:, 128:], bnd, st0, pay)
+    packed_out, used = _decode(tbl[:, :128], tbl[:, 128:], bnd, st0, pay)
+    shifts = jnp.array([0, 8, 16, 24], jnp.int32)
+    out = jnp.bitwise_and(
+        jnp.right_shift(packed_out[:, :, None], shifts[None, None, :]), 255)
+    out = out.reshape(npad, CHUNK)
     return out[:n0].astype(jnp.uint8), used[:n0, 0]
 
 def _pad_rows(n: int) -> int:
