@@ -61,13 +61,15 @@ def ans0_encode_chunks(chunks: jax.Array, freq: jax.Array, cum: jax.Array):
             sb = jax.lax.dynamic_slice(syms_nf, (0, i * blk), (n, blk))
             oh = jax.nn.one_hot(sb, 256, dtype=jnp.float32)       # (N, blk, 256)
             return jnp.einsum("nbc,nck->nbk", oh, tables,
-                              preferred_element_type=jnp.float32)  # (N, blk, 2)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)  # (N, blk, 2)
         fc = jax.lax.map(lookup_block, jnp.arange((steps * 4) // blk))
         fc = jnp.transpose(fc, (1, 0, 2, 3)).reshape(n, steps * 4, 2)  # (N,S4,2)
     else:
         oh = jnp.asarray(jax.nn.one_hot(syms_nf, 256, dtype=jnp.float32))
         fc = jnp.einsum("nbc,nck->nbk", oh, tables,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     f_all = jnp.transpose(fc[..., 0].astype(jnp.int32).reshape(n, steps, 4), (1, 2, 0))
     c_all = jnp.transpose(fc[..., 1].astype(jnp.int32).reshape(n, steps, 4), (1, 2, 0))
     xs = (f_all, c_all)

@@ -133,6 +133,149 @@ def _scan(lk: jax.Array, step_block: int = 128, lane_block: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# fused substep pipeline (order 0): lanes = chunks, 16384 substeps
+# ---------------------------------------------------------------------------
+#
+# The wire payload orders emissions by the original byte index b; the
+# interleaved coder processes b = C-1 .. 0 (4 states, state j owning bytes
+# with b % 4 == 3 - j).  Serializing the four per-step state updates into
+# one substep each (t = C-1-b, state register u = t & 3) makes the lane
+# dimension pure chunks, so
+#   * the lookup kernel's (chunks, bytes) -> (substeps, chunks) relayout is
+#     one lane-flip gather + one 128x128 transpose per tile, fused into the
+#     lookup itself (no XLA transpose pass, no packed-i32 round trip), and
+#   * emissions leave the scan already in per-chunk wire order: accumulate
+#     128 substeps in VMEM, transpose + lane-flip each (128,128) tile, and
+#     the scan's output IS the compaction kernel's input (the old emit ->
+#     layout -> compact 2 GiB HBM round trip disappears).
+
+def _lookup_t_kernel(syms_ref, tbl_ref, out_ref):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rev = 127 - lane
+    ix = syms_ref[:].astype(jnp.int32)
+    ixf = jnp.take_along_axis(ix, rev, axis=1)        # lane dt <- byte 127-dt
+    ixm = jnp.bitwise_and(ixf, 127)
+    lo = jnp.take_along_axis(tbl_ref[:, :128], ixm, axis=1)
+    hi = jnp.take_along_axis(tbl_ref[:, 128:], ixm, axis=1)
+    packed = jnp.where(ixf < 128, lo, hi)             # (chunks, flipped cols)
+    out_ref[:] = packed.T                             # (substeps, chunks)
+
+
+def _lookup_t(syms_u8: jax.Array, tables: jax.Array) -> jax.Array:
+    """syms (N, C) uint8, tables (N, 256) int32 -> lk (C, N) int32 where
+    lk[t, n] = tables[n, syms[n, C-1-t]] (substep-major, lanes = chunks)."""
+    n, c = syms_u8.shape
+    ct = c // 128
+    return pl.pallas_call(
+        _lookup_t_kernel,
+        grid=(n // 128, ct),
+        in_specs=[
+            pl.BlockSpec((128, 128), lambda i, j: (i, ct - 1 - j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 256), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, 128), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, n), jnp.int32),
+    )(syms_u8, tables)
+
+
+def _scan_sub_kernel(lk_ref, w_ref, st_out_ref, st_scr, e_scr,
+                     *, lr: int = LOG_RANGE):
+    rb = lk_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rev = 127 - lane
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        st_scr[:] = jnp.full_like(st_scr, ANS_TOP)
+
+    def quad(qi, _):
+        for u in range(4):
+            t = qi * 4 + u
+            lk = lk_ref[t]                            # (rb, 128)
+            f = jnp.bitwise_and(lk, (1 << lr) - 1)
+            cm = jnp.right_shift(lk, lr)
+            st = st_scr[u]
+            em = jnp.right_shift(st, 31 - lr) >= f
+            val = jnp.bitwise_and(st, 0xFFFF)
+            st1 = jnp.where(em, jnp.right_shift(st, 16), st)
+            q = (st1.astype(jnp.float32) / f.astype(jnp.float32)
+                 ).astype(jnp.int32)
+            r = st1 - q * f
+            q = q + jnp.where(r < 0, -1, 0) + jnp.where(r >= f, 1, 0)
+            r = st1 - q * f
+            st_scr[u] = jnp.left_shift(q, lr) + r + cm
+            e_scr[pl.ds(t, 1)] = jnp.where(
+                em, jnp.bitwise_or(0x10000, val), 0)[None]
+        return 0
+
+    jax.lax.fori_loop(0, 32, quad, 0)
+    for r in range(rb):
+        slab = e_scr[:, r, :]                         # (substeps, chunks)
+        tile = slab.T                                 # (chunks, substeps)
+        w_ref[r * 128:(r + 1) * 128, :] = jnp.take_along_axis(tile, rev, axis=1)
+    st_out_ref[:] = st_scr[:]
+
+
+def _scan_sub(lk: jax.Array, rb: int = 8, lr: int = LOG_RANGE):
+    """lk (C, N) int32 substep-major -> w (N, C) int32 emissions in
+    per-chunk wire order (flag 0x10000 | value), st (4, N/128, 128)."""
+    c, n = lk.shape
+    lk3 = lk.reshape(c, n // 128, 128)
+    w, st = pl.pallas_call(
+        functools.partial(_scan_sub_kernel, lr=lr),
+        grid=(n // (rb * 128), c // 128),
+        in_specs=[pl.BlockSpec((128, rb, 128), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((rb * 128, 128),
+                         lambda i, j: (i, c // 128 - 1 - j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, rb, 128), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), jnp.int32),
+            jax.ShapeDtypeStruct((4, n // 128, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, rb, 128), jnp.int32),      # states st0..st3
+            pltpu.VMEM((128, rb, 128), jnp.int32),    # emission tile buffer
+        ],
+    )(lk3)
+    return w, st
+
+
+@jax.jit
+def ans0_encode_chunks_fused(chunks: jax.Array, freq: jax.Array,
+                             cum: jax.Array):
+    """Fused-substep encode of full 16 KiB chunks — wire-identical to
+    ans0_encode_chunks_pallas but with the transposes folded into the
+    lookup/scan kernels (lanes = chunks).  N must allow padding to 1024."""
+    n0, c = chunks.shape
+    npad = ((max(n0, 1024) + 1023) // 1024) * 1024
+    if npad != n0:
+        pad = ((0, npad - n0), (0, 0))
+        chunks = jnp.pad(chunks, pad, mode="edge")
+        freq = jnp.pad(freq, pad, mode="edge")
+        cum = jnp.pad(cum, pad, mode="edge")
+    n = npad
+    freq_cap = jnp.minimum(freq, SCALE - 1)
+    tables = jnp.bitwise_or(freq_cap,
+                            jnp.left_shift(cum, LOG_RANGE)).astype(jnp.int32)
+    lk = _lookup_t(chunks, tables)                    # (C, N)
+    w, st = _scan_sub(lk)                             # (N, C), (4, N/128, 128)
+    # state register u holds wire state column u (st0..st3)
+    states = st.reshape(4, n).T.astype(jnp.int32)
+    pay_i32, cnt = _compact(w.reshape(n, c // 128, 128))
+    payload = pay_i32.reshape(n, c).astype(jnp.uint16)
+    n_emit = jnp.sum(cnt, axis=1)
+    return payload[:n0], n_emit[:n0], states[:n0]
+
+
+# ---------------------------------------------------------------------------
 # device-side chunk statistics: histogram + exact normalization
 # ---------------------------------------------------------------------------
 
@@ -206,7 +349,7 @@ def ans0_encode_device(chunks: jax.Array):
     cum = jnp.concatenate(
         [jnp.zeros((freq.shape[0], 1), jnp.int32),
          jnp.cumsum(freq, axis=1)[:, :-1].astype(jnp.int32)], axis=1)
-    payload, n_emit, states = ans0_encode_chunks_pallas(chunks, freq, cum)
+    payload, n_emit, states = ans0_encode_chunks_fused(chunks, freq, cum)
     return freq, payload, n_emit, states
 
 

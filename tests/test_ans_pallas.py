@@ -112,6 +112,27 @@ def test_pallas_encode_matches_oracle(n):
 
 
 @pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
+@pytest.mark.parametrize("n", [32, 45])
+def test_pallas_fused_encode_matches_oracle(n):
+    import jax.numpy as jnp
+    from kanzi_tpu.ops.ans_block import _chunk_stats
+    from kanzi_tpu.ops.ans_pallas import ans0_encode_chunks_fused
+
+    rng = np.random.default_rng(11)
+    chunks = (rng.zipf(1.3, (n, CHUNK)) % 200).astype(np.uint8)
+    freq, cum, nsym, _ = _chunk_stats(chunks)
+    po, no, so = _ans0_oracle(chunks, freq, cum)
+    p, ne, st = ans0_encode_chunks_fused(
+        jnp.asarray(chunks), jnp.asarray(freq, jnp.int32),
+        jnp.asarray(cum, jnp.int32))
+    p, ne, st = np.asarray(p), np.asarray(ne), np.asarray(st)
+    assert np.array_equal(ne, no)
+    assert np.array_equal(st.astype(np.int64), so)
+    for i in range(n):
+        assert np.array_equal(p[i, :no[i]], po[i, :no[i]])
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
 def test_pallas_compact_all_rates():
     import jax.numpy as jnp
     from kanzi_tpu.ops.ans_pallas import _compact
