@@ -467,6 +467,7 @@ class HuffmanDecoder:
                         out[start:start + sz] = syms
                 start += sz
             return out
+        device_q = [] if _use_device_decode(count, self.chunk_size) else None
         while start < count:
             sz = min(self.chunk_size, count - start)
             if sz < 32:
@@ -478,9 +479,18 @@ class HuffmanDecoder:
                                          BitStreamError.INVALID_STREAM)
                 if n_sym == 1:
                     out[start:start + sz] = self.alphabet[0]
+                elif device_q is not None and sz == MAX_CHUNK_SIZE:
+                    sz_bits = [eu.read_varint(br) for _ in range(4)]
+                    streams = [np.packbits(br.read_bit_array(b))
+                               for b in sz_bits]
+                    device_q.append((start, sz_bits, streams,
+                                     self.sizes.copy(),
+                                     self.alphabet.copy()))
                 else:
                     self._decode_chunk(out, start, sz, br)
             start += sz
+        if device_q:
+            _device_decode_batch(device_q, out)
         return out
 
     def _decode_chunk(self, out: np.ndarray, start: int, sz: int,
@@ -500,6 +510,40 @@ class HuffmanDecoder:
 
     def dispose(self) -> None:
         pass
+
+
+def _use_device_decode(count: int, chunk_size: int) -> bool:
+    import os
+    return (os.environ.get("KANZI_TPU_DEVICE_HUFFMAN", "0") == "1"
+            and chunk_size == MAX_CHUNK_SIZE and count >= MAX_CHUNK_SIZE)
+
+
+def _device_decode_batch(device_q, out: np.ndarray) -> None:
+    """Decode queued full 16 KiB chunks on the TPU
+    (ops/huffman_decode_pallas) and scatter results into ``out``."""
+    import jax.numpy as jnp
+
+    from ..ops.huffman_decode_pallas import (_PAY_ROWS_PER_STREAM,
+                                             build_decode_tables,
+                                             huffman_decode_chunks_pallas)
+    n = len(device_q)
+    stride = _PAY_ROWS_PER_STREAM * 256
+    pay = np.zeros((n, 4 * stride), np.uint8)
+    for i, (_, _, streams, _, _) in enumerate(device_q):
+        for j, sb in enumerate(streams):
+            pay[i, j * stride:j * stride + len(sb)] = sb
+    bnd, adj, perm = build_decode_tables(
+        [q[3] for q in device_q], [q[4] for q in device_q])
+    syms, used = huffman_decode_chunks_pallas(
+        jnp.asarray(pay), jnp.asarray(bnd), jnp.asarray(adj),
+        jnp.asarray(perm))
+    syms = np.asarray(syms)
+    used = np.asarray(used)
+    for i, (start, sz_bits, _, _, _) in enumerate(device_q):
+        if list(used[i]) != list(sz_bits):
+            raise BitStreamError("Huffman stream length mismatch",
+                                 BitStreamError.INVALID_STREAM)
+        out[start:start + MAX_CHUNK_SIZE] = syms[i]
 
 
 def _chain_decode(bits: np.ndarray, n_sym: int, sym_lut: np.ndarray,

@@ -269,8 +269,8 @@ def ans0_encode_chunks_fused(chunks: jax.Array, freq: jax.Array,
     w, st = _scan_sub(lk)                             # (N, C), (4, N/128, 128)
     # state register u holds wire state column u (st0..st3)
     states = st.reshape(4, n).T.astype(jnp.int32)
-    pay_i32, cnt = _compact(w.reshape(n, c // 128, 128))
-    payload = pay_i32.reshape(n, c).astype(jnp.uint16)
+    pay, cnt = _compact(w.reshape(n, c // 128, 128), u16_out=True)
+    payload = pay.reshape(n, c)
     n_emit = jnp.sum(cnt, axis=1)
     return payload[:n0], n_emit[:n0], states[:n0]
 
@@ -370,7 +370,7 @@ def ans0_encode_device(chunks: jax.Array):
 # All gathers are lane-direction on (rows, 128) operands — the only gather
 # form Mosaic supports — and every value fits exactly in f32.
 
-def _compact_kernel(e_ref, out_ref, cnt_ref):
+def _compact_kernel(e_ref, out_ref, cnt_ref, *, u16_out: bool = False):
     ch, nb = e_ref.shape[0], e_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (ch * nb, 128), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
@@ -445,17 +445,23 @@ def _compact_kernel(e_ref, out_ref, cnt_ref):
            + jax.lax.dot_general(rb, part_b, dn,
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST))
-    out_ref[:] = out.astype(jnp.int32)
+    if u16_out:
+        out_ref[:] = out.astype(jnp.int32).astype(jnp.uint16)
+    else:
+        out_ref[:] = out.astype(jnp.int32)
 
 
-def _compact(e: jax.Array, chunks_per_cell: int = 8):
+def _compact(e: jax.Array, chunks_per_cell: int = 8, u16_out: bool = False):
     """e (N, nb, 128) int32 (flag<<16|val), nb a power of two <= 128 ->
-    payload (N, nb, 128) int32 (flagged values stably compacted per chunk
-    of nb*128 positions), counts (N, nb) int32."""
+    payload (N, nb, 128) int32 — or uint16 with ``u16_out`` (halves the
+    output write and skips the downstream conversion pass) — of flagged
+    values stably compacted per chunk of nb*128 positions, plus counts
+    (N, nb) int32."""
     n, nb, _ = e.shape
     ch = min(chunks_per_cell, n)
+    out_dt = jnp.uint16 if u16_out else jnp.int32
     payload, cnt = pl.pallas_call(
-        _compact_kernel,
+        functools.partial(_compact_kernel, u16_out=u16_out),
         grid=(n // ch,),
         in_specs=[pl.BlockSpec((ch, nb, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -466,7 +472,7 @@ def _compact(e: jax.Array, chunks_per_cell: int = 8):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, nb, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n, nb, 128), out_dt),
             jax.ShapeDtypeStruct((n, nb), jnp.int32),
         ],
     )(e)

@@ -200,6 +200,32 @@ def test_huffman_device_bit_exact():
     assert np.array_equal(np.asarray(out, np.uint8), data)
 
 
+@pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
+def test_huffman_device_decode_round_trip():
+    import os
+    from kanzi_tpu.core.bits import BitReader, BitWriter
+    from kanzi_tpu.entropy.huffman import HuffmanDecoder, HuffmanEncoder
+
+    rng = np.random.default_rng(17)
+    for data in (
+        (rng.zipf(1.3, 5 * CHUNK + 1000) % 251).astype(np.uint8),
+        np.clip(rng.normal(100, 3, 3 * CHUNK), 0, 255).astype(np.uint8),
+    ):
+        bw = BitWriter()
+        enc = HuffmanEncoder(bw)
+        enc.encode(data.copy())
+        enc.dispose()
+        blob = bw.getvalue()
+        host = HuffmanDecoder(BitReader(blob)).decode(len(data))
+        os.environ["KANZI_TPU_DEVICE_HUFFMAN"] = "1"
+        try:
+            dev = HuffmanDecoder(BitReader(blob)).decode(len(data))
+        finally:
+            os.environ.pop("KANZI_TPU_DEVICE_HUFFMAN", None)
+        assert np.array_equal(np.asarray(host, np.uint8), data)
+        assert np.array_equal(np.asarray(dev, np.uint8), data)
+
+
 def test_huffman_native_tables_match_python():
     from kanzi_tpu.core.bits import BitWriter
     from kanzi_tpu.entropy.huffman import HuffmanEncoder, build_tables_batch
