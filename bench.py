@@ -4,7 +4,7 @@ Headline (round 1): chunk-parallel rANS (ANS0, wire format v7) entropy
 encode throughput on one TPU chip — the stage-2 compute kernel of the
 level-5 pipeline, via the Pallas kernels in ops/ans_pallas.py (dynamic-
 gather table lookup, single-launch 4096-step state scan, MXU stable-
-partition payload compaction), measured on a 768 MiB device-resident
+partition payload compaction), measured on a 896 MiB device-resident
 batch (one jit call; includes the tunnel's ~23 ms dispatch round-trip).
 
 vs_baseline compares against the closest published reference number that
@@ -76,7 +76,7 @@ def bench_cpu_level(data: np.ndarray, level: int, jobs: int = 0,
 
 
 def main() -> None:
-    size = 768 * 1024 * 1024
+    size = 896 * 1024 * 1024
     data = _corpus(size)
     # CPU secondary first: the TPU client's runtime threads would otherwise
     # steal cores from the thread-pooled block engine.

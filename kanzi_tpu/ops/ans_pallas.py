@@ -337,6 +337,113 @@ def _normalize_freqs_jax(hist: jax.Array, total_shift: int, scale: int):
     return f
 
 
+# ---------------------------------------------------------------------------
+# kernel: exact normalization in VMEM (Pallas port of _normalize_freqs_jax;
+# the XLA version materializes ~40 (N,256) intermediates to HBM, this one
+# keeps the whole per-row pipeline in registers)
+# ---------------------------------------------------------------------------
+
+def _norm_kernel(hist_ref, out_ref, *, total_shift: int, scale: int):
+    rows = hist_ref.shape[0]
+    total = 1 << total_shift
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+    def reduce_sum(lo, hi):
+        return (jnp.sum(lo, axis=1, keepdims=True)
+                + jnp.sum(hi, axis=1, keepdims=True))
+
+    def cumsum_pair(lo, hi):
+        def cs(x):
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                x = x + jnp.where(lane >= s, pltpu.roll(x, s, 1), 0)
+            return x
+        clo = cs(lo)
+        chi = cs(hi) + clo[:, 127:128]
+        return clo, chi
+
+    def first_argmax(lo, hi):
+        m = jnp.maximum(jnp.max(lo, axis=1, keepdims=True),
+                        jnp.max(hi, axis=1, keepdims=True))
+        ilo = jnp.min(jnp.where(lo == m, lane, 4096), axis=1, keepdims=True)
+        ihi = jnp.min(jnp.where(hi == m, lane + 128, 4096), axis=1,
+                      keepdims=True)
+        return m, jnp.minimum(ilo, ihi)
+
+    h_lo = hist_ref[:, :128]
+    h_hi = hist_ref[:, 128:]
+
+    def norm_half(h, lane_g):
+        nz = h > 0
+        sf = h * scale
+        scaled = jnp.where(sf <= total, 1,
+                           jnp.right_shift(sf + (total >> 1), total_shift))
+        return nz, jnp.where(nz, scaled, 0)
+
+    nz_lo, f_lo = norm_half(h_lo, lane)
+    nz_hi, f_hi = norm_half(h_hi, lane + 128)
+    asize = reduce_sum(nz_lo.astype(jnp.int32), nz_hi.astype(jnp.int32))
+    mval, imax = first_argmax(f_lo, f_hi)
+    om_lo = (lane == imax)
+    om_hi = (lane + 128 == imax)
+    sum_scaled = reduce_sum(f_lo, f_hi)
+
+    single = asize == 1
+    f_lo = jnp.where(single & nz_lo, scale, f_lo)
+    f_hi = jnp.where(single & nz_hi, scale, f_hi)
+    active = (~single) & (sum_scaled != scale)
+    delta = sum_scaled - scale
+    err_thr = jnp.right_shift(mval, 4)
+    small = active & (jnp.abs(delta) <= err_thr)
+    f_lo = f_lo - jnp.where(small & om_lo, delta, 0)
+    f_hi = f_hi - jnp.where(small & om_hi, delta, 0)
+    big = active & ~small
+    neg = big & (delta < 0)
+    pos = big & (delta > 0)
+    bump = jnp.where(neg, err_thr, jnp.where(pos, -err_thr, 0))
+    f_lo = f_lo + jnp.where(big & om_lo, bump, 0)
+    f_hi = f_hi + jnp.where(big & om_hi, bump, 0)
+    d = jnp.where(neg, delta + err_thr, jnp.where(pos, delta - err_thr, 0))
+    inc = jnp.where(d > 0, -1, 1)
+    d = jnp.abs(d)
+    live = big
+    for _ in range(5):   # bounded error-spreading rounds, symbol order
+        elig_lo = nz_lo & (f_lo > 2) & live
+        elig_hi = nz_hi & (f_hi > 2) & live
+        c_lo, c_hi = cumsum_pair(elig_lo.astype(jnp.int32),
+                                 elig_hi.astype(jnp.int32))
+        adj_lo = elig_lo & (c_lo <= d)
+        adj_hi = elig_hi & (c_hi <= d)
+        nadj = reduce_sum(adj_lo.astype(jnp.int32), adj_hi.astype(jnp.int32))
+        f_lo = f_lo + jnp.where(adj_lo, inc, 0)
+        f_hi = f_hi + jnp.where(adj_hi, inc, 0)
+        d = d - jnp.minimum(nadj, d)
+        live = live & (d > 0) & (nadj > 0)
+    fmax = (jnp.sum(jnp.where(om_lo, f_lo, 0), axis=1, keepdims=True)
+            + jnp.sum(jnp.where(om_hi, f_hi, 0), axis=1, keepdims=True))
+    fin = jnp.maximum(fmax - d, 1)
+    f_lo = jnp.where(big & om_lo, fin, f_lo)
+    f_hi = jnp.where(big & om_hi, fin, f_hi)
+    out_ref[:, :128] = f_lo
+    out_ref[:, 128:] = f_hi
+
+
+def _normalize_freqs_pallas(hist: jax.Array, total_shift: int, scale: int,
+                            rows_per_cell: int = 256) -> jax.Array:
+    """Pallas version of _normalize_freqs_jax (identical results for rows
+    summing to exactly 1 << total_shift)."""
+    n = hist.shape[0]
+    rb = min(rows_per_cell, n)
+    return pl.pallas_call(
+        functools.partial(_norm_kernel, total_shift=total_shift, scale=scale),
+        grid=(n // rb,),
+        in_specs=[pl.BlockSpec((rb, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rb, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 256), jnp.int32),
+    )(hist)
+
+
 @jax.jit
 def ans0_encode_device(chunks: jax.Array):
     """Fully device-resident ANS0 stage-2 encode of full 16 KiB chunks:
@@ -345,7 +452,10 @@ def ans0_encode_device(chunks: jax.Array):
     n_emit (N) i32, states (N,4) i32)."""
     total_shift = CHUNK.bit_length() - 1
     hist = _hist16(chunks)
-    freq = _normalize_freqs_jax(hist, total_shift, SCALE)
+    if hist.shape[0] % 256 == 0:
+        freq = _normalize_freqs_pallas(hist, total_shift, SCALE)
+    else:
+        freq = _normalize_freqs_jax(hist, total_shift, SCALE)
     cum = jnp.concatenate(
         [jnp.zeros((freq.shape[0], 1), jnp.int32),
          jnp.cumsum(freq, axis=1)[:, :-1].astype(jnp.int32)], axis=1)
