@@ -115,6 +115,95 @@ def _hscan(lk: jax.Array, step_block: int = 128, lane_block: int = 16):
     )(lk)
 
 
+def _hscan_fused_kernel(syms_ref, tbl_ref, w_ref, acc_out_ref, nb_out_ref,
+                        acc_ref, nb_ref, e_scr, lk_scr):
+    """Fused lookup + bit-pack scan for one (chunk-tile, stream, col) cell.
+
+    syms (rb*128, 1, 128) uint8 (the current stream's 128-byte column of
+    rb*128 chunks), tbl (rb*128, 128) packed 2x16-bit code entries.  The
+    per-stream (len<<12|code) sequence is built in VMEM (one gather + one
+    128x128 transpose per tile) and scanned in place; emissions land in
+    the (chunks, 1, cols) wire layout, so the old (N*4, S) <-> (S, lanes)
+    HBM transposes disappear."""
+    rb = lk_scr.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        nb_ref[:] = jnp.zeros_like(nb_ref)
+
+    for u in range(4):
+        for r in range(rb):
+            sl = slice(r * 128, (r + 1) * 128)
+            ix = syms_ref[sl, u, :].astype(jnp.int32)
+            wv = jnp.take_along_axis(tbl_ref[sl, :], jnp.right_shift(ix, 1),
+                                     axis=1)
+            ent = jnp.bitwise_and(
+                jnp.right_shift(wv, jnp.left_shift(
+                    jnp.bitwise_and(ix, 1), 4)), 0xFFFF)
+            lk_scr[:, r, :] = ent.T                   # (substeps, chunks)
+
+        def body(i, _, u=u):
+            lk = lk_scr[i]
+            ln = jnp.right_shift(lk, 12)
+            code = jnp.bitwise_and(lk, 0xFFF)
+            acc = jnp.bitwise_or(jnp.left_shift(acc_ref[u], ln), code)
+            nb = nb_ref[u] + ln
+            em = nb >= 16
+            val = jnp.bitwise_and(
+                jnp.right_shift(acc, jnp.maximum(nb - 16, 0)), 0xFFFF)
+            nb2 = jnp.where(em, nb - 16, nb)
+            acc_ref[u] = jnp.bitwise_and(acc, jnp.left_shift(1, nb2) - 1)
+            nb_ref[u] = nb2
+            e_scr[pl.ds(i, 1)] = jnp.where(
+                em, jnp.bitwise_or(1 << 16, val), 0)[None]
+            return 0
+
+        jax.lax.fori_loop(0, 128, body, 0)
+        for r in range(rb):
+            w_ref[r * 128:(r + 1) * 128, u, :] = e_scr[:, r, :].T
+    acc_out_ref[:] = acc_ref[:]
+    nb_out_ref[:] = nb_ref[:]
+
+
+def _hscan_fused(chunks_v: jax.Array, tbl: jax.Array, rb: int = 8):
+    """chunks_v (N, 4, S) uint8, tbl (N, 128) int32 -> w (N, 4, S) int32
+    emissions in wire order, acc/nbits (4, N/128, 128) int32 keyed by
+    (stream, chunk)."""
+    n, _, s = chunks_v.shape
+    st = s // 128
+    w, acc, nb = pl.pallas_call(
+        _hscan_fused_kernel,
+        grid=(n // (rb * 128), st),
+        in_specs=[
+            pl.BlockSpec((rb * 128, 4, 128), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb * 128, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb * 128, 4, 128), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, rb, 128), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, rb, 128), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 4, s), jnp.int32),
+            jax.ShapeDtypeStruct((4, n // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((4, n // 128, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, rb, 128), jnp.int32),  # bit accumulators
+            pltpu.VMEM((4, rb, 128), jnp.int32),  # pending bit counts
+            pltpu.VMEM((128, rb, 128), jnp.int32),  # emission buffer
+            pltpu.VMEM((128, rb, 128), jnp.int32),  # lookup buffer
+        ],
+    )(chunks_v, tbl)
+    return w, acc, nb
+
+
 @jax.jit
 def huffman_encode_streams(chunks: jax.Array, tbl: jax.Array):
     """Encode full 16 KiB chunks into per-quarter-stream Huffman words.
@@ -122,23 +211,21 @@ def huffman_encode_streams(chunks: jax.Array, tbl: jax.Array):
     chunks (N, 16384) uint8; tbl (N, 128) int32 packed code table.
     Returns words (4N, 4096) uint16 (each stream's 16-bit groups in order),
     n_words (4N) int32, acc (4N) int32 (leftover bits, LSB-aligned) and
-    nbits (4N) int32 (leftover bit count < 16)."""
+    nbits (4N) int32 (leftover bit count < 16); rows ordered 4*chunk+stream."""
     n0, c = chunks.shape
-    npad = _pad_rows(max(n0, 32))
+    npad = max(((n0 + 1023) // 1024) * 1024, 1024)
     if npad != n0:
         pad = ((0, npad - n0), (0, 0))
         chunks = jnp.pad(chunks, pad, mode="edge")
         tbl = jnp.pad(tbl, pad, mode="edge")
     n = npad
-    lkp = _hlookup(chunks.astype(jnp.int32), tbl)             # (N, C)
     s = STREAM
+    w, acc, nbits = _hscan_fused(chunks.reshape(n, 4, s), tbl)
     r4 = 4 * n
-    lk = lkp.reshape(r4, s).T.reshape(s, r4 // 128, 128)      # stream order
-    emit, acc, nbits = _hscan(lk)
-    e = emit.reshape(s, r4 // 128 * 128).T.reshape(r4, s // 128, 128)
-    words, cnt = _compact(e)
+    words, cnt = _compact(w.reshape(r4, s // 128, 128), u16_out=True)
     n_words = jnp.sum(cnt, axis=1)
-    words = words.reshape(r4, s).astype(jnp.uint16)
-    accf = acc.reshape(r4)
-    nbf = nbits.reshape(r4)
+    words = words.reshape(r4, s)
+    # acc/nbits are (stream, chunk); the wire wants row 4*chunk + stream
+    accf = acc.reshape(4, n).T.reshape(r4)
+    nbf = nbits.reshape(4, n).T.reshape(r4)
     return (words[:4 * n0], n_words[:4 * n0], accf[:4 * n0], nbf[:4 * n0])
