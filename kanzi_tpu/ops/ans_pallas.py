@@ -248,7 +248,7 @@ def _scan_sub(lk: jax.Array, rb: int = 8, lr: int = LOG_RANGE):
     return w, st
 
 
-def _scan_sub_fused_kernel(syms_ref, tbl_ref, w_ref, st_out_ref,
+def _scan_sub_fused_kernel(syms_ref, tbl_ref, wv_ref, wf_ref, st_out_ref,
                            st_scr, e_scr, lk_scr, *, lr: int = LOG_RANGE):
     rb = lk_scr.shape[1]
     rev = 127 - jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -290,18 +290,21 @@ def _scan_sub_fused_kernel(syms_ref, tbl_ref, w_ref, st_out_ref,
     jax.lax.fori_loop(0, 32, quad, 0)
     for r in range(rb):
         tile = e_scr[:, r, :].T                           # (chunks, substeps)
-        w_ref[r * 128:(r + 1) * 128, :] = jnp.take_along_axis(
-            tile, rev, axis=1)
+        t32 = jnp.take_along_axis(tile, rev, axis=1)
+        sl = slice(r * 128, (r + 1) * 128)
+        wv_ref[sl, :] = jnp.bitwise_and(t32, 0xFFFF).astype(jnp.uint16)
+        wf_ref[sl, :] = jnp.right_shift(t32, 16).astype(jnp.uint8)
     st_out_ref[:] = st_scr[:]
 
 
 def _scan_sub_fused(chunks_u8: jax.Array, tables: jax.Array, rb: int = 8,
                     lr: int = LOG_RANGE):
     """Fused lookup+scan: chunks (N, C) uint8, tables (N, 256) int32
-    packed (f | cum<<lr) -> w (N, C) int32 wire-order emissions,
-    st (4, N/128, 128).  One kernel; the (C, N) lookup array stays in VMEM."""
+    packed (f | cum<<lr) -> wire-order emissions split as wv (N, C) uint16
+    words + wf (N, C) uint8 emit flags, st (4, N/128, 128).  One kernel;
+    the (C, N) lookup array stays in VMEM."""
     n, c = chunks_u8.shape
-    w, st = pl.pallas_call(
+    wv, wf, st = pl.pallas_call(
         functools.partial(_scan_sub_fused_kernel, lr=lr),
         grid=(n // (rb * 128), c // 128),
         in_specs=[
@@ -315,11 +318,15 @@ def _scan_sub_fused(chunks_u8: jax.Array, tables: jax.Array, rb: int = 8,
             pl.BlockSpec((rb * 128, 128),
                          lambda i, j: (i, c // 128 - 1 - j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb * 128, 128),
+                         lambda i, j: (i, c // 128 - 1 - j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((4, rb, 128), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c), jnp.int32),
+            jax.ShapeDtypeStruct((n, c), jnp.uint16),
+            jax.ShapeDtypeStruct((n, c), jnp.uint8),
             jax.ShapeDtypeStruct((4, n // 128, 128), jnp.int32),
         ],
         scratch_shapes=[
@@ -328,7 +335,7 @@ def _scan_sub_fused(chunks_u8: jax.Array, tables: jax.Array, rb: int = 8,
             pltpu.VMEM((128, rb, 128), jnp.int32),    # lookup tile buffer
         ],
     )(chunks_u8, tables)
-    return w, st
+    return wv, wf, st
 
 
 @jax.jit
@@ -348,10 +355,11 @@ def ans0_encode_chunks_fused(chunks: jax.Array, freq: jax.Array,
     freq_cap = jnp.minimum(freq, SCALE - 1)
     tables = jnp.bitwise_or(freq_cap,
                             jnp.left_shift(cum, LOG_RANGE)).astype(jnp.int32)
-    w, st = _scan_sub_fused(chunks, tables)           # (N, C), (4, N/128, 128)
+    wv, wf, st = _scan_sub_fused(chunks, tables)
     # state register u holds wire state column u (st0..st3)
     states = st.reshape(4, n).T.astype(jnp.int32)
-    pay, cnt = _compact(w.reshape(n, c // 128, 128), u16_out=True)
+    pay, cnt = _compact2(wv.reshape(n, c // 128, 128),
+                         wf.reshape(n, c // 128, 128))
     payload = pay.reshape(n, c)
     n_emit = jnp.sum(cnt, axis=1)
     return payload[:n0], n_emit[:n0], states[:n0]
@@ -564,6 +572,19 @@ def ans0_encode_device(chunks: jax.Array):
 
 def _compact_kernel(e_ref, out_ref, cnt_ref, *, u16_out: bool = False):
     ch, nb = e_ref.shape[0], e_ref.shape[1]
+    t = e_ref[:].reshape(ch * nb, 128)
+    _compact_body(jnp.right_shift(t, 16), jnp.bitwise_and(t, 0xFFFF),
+                  out_ref, cnt_ref, ch, nb, u16_out)
+
+
+def _compact2_kernel(v_ref, f_ref, out_ref, cnt_ref, *, u16_out: bool = True):
+    ch, nb = v_ref.shape[0], v_ref.shape[1]
+    _compact_body(f_ref[:].reshape(ch * nb, 128).astype(jnp.int32),
+                  v_ref[:].reshape(ch * nb, 128).astype(jnp.int32),
+                  out_ref, cnt_ref, ch, nb, u16_out)
+
+
+def _compact_body(flag, val, out_ref, cnt_ref, ch, nb, u16_out):
     lane = jax.lax.broadcasted_iota(jnp.int32, (ch * nb, 128), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     triu = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -572,10 +593,6 @@ def _compact_kernel(e_ref, out_ref, cnt_ref, *, u16_out: bool = False):
     tril_strict = (jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
                    < jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
                    ).astype(jnp.float32)
-
-    t = e_ref[:].reshape(ch * nb, 128)
-    flag = jnp.right_shift(t, 16)
-    val = jnp.bitwise_and(t, 0xFFFF)
     # 1. inclusive in-block cumsum of flags (values <= 128: exact in f32)
     pos = jnp.dot(flag.astype(jnp.float32), triu,
                   preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -672,6 +689,31 @@ def _compact(e: jax.Array, chunks_per_cell: int = 8, u16_out: bool = False):
             jax.ShapeDtypeStruct((n, nb), jnp.int32),
         ],
     )(e)
+    return payload, cnt
+
+
+def _compact2(vals: jax.Array, flags: jax.Array, chunks_per_cell: int = 8):
+    """Split-operand variant of _compact: vals (N, nb, 128) uint16 emission
+    words, flags (N, nb, 128) uint8 emit markers -> (payload (N, nb, 128)
+    uint16, counts (N, nb) int32).  Reads 3 bytes/position instead of 4."""
+    n, nb, _ = vals.shape
+    ch = min(chunks_per_cell, n)
+    payload, cnt = pl.pallas_call(
+        _compact2_kernel,
+        grid=(n // ch,),
+        in_specs=[pl.BlockSpec((ch, nb, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=[
+            pl.BlockSpec((ch, nb, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, nb), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, nb, 128), jnp.uint16),
+            jax.ShapeDtypeStruct((n, nb), jnp.int32),
+        ],
+    )(vals, flags)
     return payload, cnt
 
 
