@@ -4,21 +4,18 @@ Wire behavior identical to ops/ans.py (and the numpy coder entropy/ans.py):
 4 interleaved states per 16 KiB chunk, logRange 12, 16-bit renormalization
 (ANSRangeEncoder.java:337-407 semantics) — but engineered for the TPU:
 
-  * symbol->(freq,cum) lookup: per-chunk 256-entry tables live in VMEM and
-    are read with `tpu.dynamic_gather` (jnp.take_along_axis on equal-shape
-    2D operands), 8 chunks x 128 lookups per instruction — no one-hot
-    matmul, no XLA gather.
-  * the sequential 4096-step state scan runs inside ONE kernel launch as a
-    fori_loop over VMEM-resident tiles (states held in VMEM scratch across
-    the grid), instead of a lax.scan that dispatches 4096 tiny HLO ops.
-  * emissions are packed (flag<<16 | value) and compacted to the chunk-major
-    forward payload order with a single-array u32 radix sort (XLA sort).
-
-Layouts:
-  lookup kernel: chunk-major (N, C); one grid cell = 8 chunks.
-  scan kernel:   step-major (S, R, 128) where R*128 = 4*N flat state lanes,
-                 flat index e = k*N + n (state k, chunk n), rows pre-reversed
-                 so the kernel walks the stream back-to-front as rANS must.
+  * encode (`ans0_encode_chunks_fused`): ONE fused lookup+scan kernel with
+    lanes = chunks (the four state updates serialized into substeps), table
+    gathers and all relayout transposes in VMEM, emissions leaving in
+    per-chunk wire order as u16 words + u8 flags; then the MXU
+    stable-partition compaction kernel.  `ans0_encode_device` adds the
+    on-device statistics (nibble-matmul histogram + exact normalization in
+    VMEM).  See docs/kernels.md for the design derivation.
+  * decode: one chunk per sublane row, 4 states in lanes, binary-search
+    symbol resolution over per-row packed bounds, windowed payload
+    streaming.
+  * `_scan`/`_lookup` (step-major 4-lane layouts) remain for the order-1
+    path and the rank/perm post-pass.
 """
 
 from __future__ import annotations
@@ -148,105 +145,6 @@ def _scan(lk: jax.Array, step_block: int = 128, lane_block: int = 16,
 #     128 substeps in VMEM, transpose + lane-flip each (128,128) tile, and
 #     the scan's output IS the compaction kernel's input (the old emit ->
 #     layout -> compact 2 GiB HBM round trip disappears).
-
-def _lookup_t_kernel(syms_ref, tbl_ref, out_ref):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    rev = 127 - lane
-    ix = syms_ref[:].astype(jnp.int32)
-    ixf = jnp.take_along_axis(ix, rev, axis=1)        # lane dt <- byte 127-dt
-    ixm = jnp.bitwise_and(ixf, 127)
-    lo = jnp.take_along_axis(tbl_ref[:, :128], ixm, axis=1)
-    hi = jnp.take_along_axis(tbl_ref[:, 128:], ixm, axis=1)
-    packed = jnp.where(ixf < 128, lo, hi)             # (chunks, flipped cols)
-    out_ref[:] = packed.T                             # (substeps, chunks)
-
-
-def _lookup_t(syms_u8: jax.Array, tables: jax.Array) -> jax.Array:
-    """syms (N, C) uint8, tables (N, 256) int32 -> lk (C, N) int32 where
-    lk[t, n] = tables[n, syms[n, C-1-t]] (substep-major, lanes = chunks)."""
-    n, c = syms_u8.shape
-    ct = c // 128
-    return pl.pallas_call(
-        _lookup_t_kernel,
-        grid=(n // 128, ct),
-        in_specs=[
-            pl.BlockSpec((128, 128), lambda i, j: (i, ct - 1 - j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 256), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((128, 128), lambda i, j: (j, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, n), jnp.int32),
-    )(syms_u8, tables)
-
-
-def _scan_sub_kernel(lk_ref, w_ref, st_out_ref, st_scr, e_scr,
-                     *, lr: int = LOG_RANGE):
-    rb = lk_ref.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    rev = 127 - lane
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        st_scr[:] = jnp.full_like(st_scr, ANS_TOP)
-
-    def quad(qi, _):
-        for u in range(4):
-            t = qi * 4 + u
-            lk = lk_ref[t]                            # (rb, 128)
-            f = jnp.bitwise_and(lk, (1 << lr) - 1)
-            cm = jnp.right_shift(lk, lr)
-            st = st_scr[u]
-            em = jnp.right_shift(st, 31 - lr) >= f
-            val = jnp.bitwise_and(st, 0xFFFF)
-            st1 = jnp.where(em, jnp.right_shift(st, 16), st)
-            q = (st1.astype(jnp.float32) / f.astype(jnp.float32)
-                 ).astype(jnp.int32)
-            r = st1 - q * f
-            q = q + jnp.where(r < 0, -1, 0) + jnp.where(r >= f, 1, 0)
-            r = st1 - q * f
-            st_scr[u] = jnp.left_shift(q, lr) + r + cm
-            e_scr[pl.ds(t, 1)] = jnp.where(
-                em, jnp.bitwise_or(0x10000, val), 0)[None]
-        return 0
-
-    jax.lax.fori_loop(0, 32, quad, 0)
-    for r in range(rb):
-        slab = e_scr[:, r, :]                         # (substeps, chunks)
-        tile = slab.T                                 # (chunks, substeps)
-        w_ref[r * 128:(r + 1) * 128, :] = jnp.take_along_axis(tile, rev, axis=1)
-    st_out_ref[:] = st_scr[:]
-
-
-def _scan_sub(lk: jax.Array, rb: int = 8, lr: int = LOG_RANGE):
-    """lk (C, N) int32 substep-major -> w (N, C) int32 emissions in
-    per-chunk wire order (flag 0x10000 | value), st (4, N/128, 128)."""
-    c, n = lk.shape
-    lk3 = lk.reshape(c, n // 128, 128)
-    w, st = pl.pallas_call(
-        functools.partial(_scan_sub_kernel, lr=lr),
-        grid=(n // (rb * 128), c // 128),
-        in_specs=[pl.BlockSpec((128, rb, 128), lambda i, j: (j, i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((rb * 128, 128),
-                         lambda i, j: (i, c // 128 - 1 - j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, rb, 128), lambda i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, c), jnp.int32),
-            jax.ShapeDtypeStruct((4, n // 128, 128), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((4, rb, 128), jnp.int32),      # states st0..st3
-            pltpu.VMEM((128, rb, 128), jnp.int32),    # emission tile buffer
-        ],
-    )(lk3)
-    return w, st
-
 
 def _scan_sub_fused_kernel(syms_ref, tbl_ref, wv_ref, wf_ref, st_out_ref,
                            st_scr, e_scr, lk_scr, *, lr: int = LOG_RANGE):

@@ -13,6 +13,11 @@ serial work) and writes headers; the per-byte work runs on the TPU:
     emitting one 16-bit word whenever 16 bits are ready — same emission
     structure as the rANS scan, so the MXU stable-partition compaction
     kernel is reused to pack the emitted words
+
+Both run in ONE fused kernel (`_hscan_fused`): lanes = chunks, the 4
+quarter-streams carried as 4 state sets per cell, lookups and relayout
+transposes in VMEM — the (4N, S) <-> (S, lanes) HBM transposes of the
+two-kernel pipeline are gone (3.5 -> 5.3 GB/s).
 """
 
 from __future__ import annotations
@@ -24,95 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ans_pallas import _compact, _pad_rows
+from .ans_pallas import _compact
 
 CHUNK = 16384
 STREAM = CHUNK // 4
-
-
-def _hlookup_kernel(syms_ref, tbl_ref, out_ref):
-    c = syms_ref.shape[1]
-    t = tbl_ref[:]
-    for j in range(c // 128):
-        ix = syms_ref[:, j * 128:(j + 1) * 128]
-        w = jnp.take_along_axis(t, jnp.right_shift(ix, 1), axis=1)
-        out_ref[:, j * 128:(j + 1) * 128] = jnp.bitwise_and(
-            jnp.right_shift(w, jnp.left_shift(jnp.bitwise_and(ix, 1), 4)),
-            0xFFFF)
-
-
-def _hlookup(syms_i32: jax.Array, tbl: jax.Array) -> jax.Array:
-    """syms (N, C) int32, tbl (N, 128) int32 (2 packed 16-bit entries per
-    word) -> (N, C) int32 entries (len<<12 | code)."""
-    n, c = syms_i32.shape
-    return pl.pallas_call(
-        _hlookup_kernel,
-        grid=(n // 8,),
-        in_specs=[
-            pl.BlockSpec((8, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, c), jnp.int32),
-    )(syms_i32, tbl)
-
-
-def _hscan_kernel(lk_ref, emit_ref, acc_out_ref, nb_out_ref, acc_ref, nb_ref):
-    sb = lk_ref.shape[0]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        nb_ref[:] = jnp.zeros_like(nb_ref)
-
-    def body(i, _):
-        lk = lk_ref[i]
-        ln = jnp.right_shift(lk, 12)
-        code = jnp.bitwise_and(lk, 0xFFF)
-        acc = jnp.bitwise_or(jnp.left_shift(acc_ref[:], ln), code)
-        nb = nb_ref[:] + ln
-        em = nb >= 16
-        val = jnp.bitwise_and(jnp.right_shift(acc, jnp.maximum(nb - 16, 0)),
-                              0xFFFF)
-        nb2 = jnp.where(em, nb - 16, nb)
-        acc_ref[:] = jnp.bitwise_and(acc, jnp.left_shift(1, nb2) - 1)
-        nb_ref[:] = nb2
-        emit_ref[i] = jnp.where(
-            em, jnp.bitwise_or(1 << 16, val), 0)
-        return 0
-
-    jax.lax.fori_loop(0, sb, body, 0)
-    acc_out_ref[:] = acc_ref[:]
-    nb_out_ref[:] = nb_ref[:]
-
-
-def _hscan(lk: jax.Array, step_block: int = 128, lane_block: int = 16):
-    """lk (S, R, 128) int32 (len<<12|code) in stream order -> emit
-    (S, R, 128) int32 (flag<<16|word), final acc and nbits (R, 128)."""
-    s, r, _ = lk.shape
-    rb = min(lane_block, r)
-    return pl.pallas_call(
-        _hscan_kernel,
-        grid=(r // rb, s // step_block),
-        in_specs=[pl.BlockSpec((step_block, rb, 128), lambda i, j: (j, i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((step_block, rb, 128), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 128), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 128), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((s, r, 128), jnp.int32),
-            jax.ShapeDtypeStruct((r, 128), jnp.int32),
-            jax.ShapeDtypeStruct((r, 128), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((rb, 128), jnp.int32),
-                        pltpu.VMEM((rb, 128), jnp.int32)],
-    )(lk)
 
 
 def _hscan_fused_kernel(syms_ref, tbl_ref, w_ref, acc_out_ref, nb_out_ref,
