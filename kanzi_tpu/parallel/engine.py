@@ -22,6 +22,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import ans as jans
 
 
+def _encode_fn(c: int):
+    """Per-device encode: the fused Pallas pipeline on TPU for full 16 KiB
+    chunks, the XLA lockstep path elsewhere (CPU mesh, odd chunk sizes)."""
+    if jax.default_backend() == "tpu" and c == 16384:
+        from ..ops.ans_pallas import ans0_encode_chunks_fused
+        return ans0_encode_chunks_fused
+    return jans.ans0_encode_chunks
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -42,12 +51,14 @@ def compress_step(mesh: Mesh, chunks, freq, cum):
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
+    enc = _encode_fn(np.shape(chunks)[1])
+
     @jax.jit
     def step(ch, fr, cm):
         ch = jax.lax.with_sharding_constraint(ch, shard)
         fr = jax.lax.with_sharding_constraint(fr, shard)
         cm = jax.lax.with_sharding_constraint(cm, shard)
-        payload, n_emit, states = jans.ans0_encode_chunks(ch, fr, cm)
+        payload, n_emit, states = enc(ch, fr, cm)
         # ordered-commit metadata: every host needs all lengths to lay out
         # the bitstream; replicate them (all-gather over ICI)
         lengths = jax.lax.with_sharding_constraint(n_emit, repl)
@@ -67,8 +78,10 @@ def train_step(mesh: Mesh, chunks, freq, cum):
     from jax.experimental.shard_map import shard_map
     axis = mesh.axis_names[0]
 
+    enc = _encode_fn(np.shape(chunks)[1])
+
     def local(ch, fr, cm):
-        payload, n_emit, states = jans.ans0_encode_chunks(ch, fr, cm)
+        payload, n_emit, states = enc(ch, fr, cm)
         local_bytes = jnp.sum(n_emit) * 2
         total_bytes = jax.lax.psum(local_bytes, axis)      # ICI collective
         all_lengths = jax.lax.all_gather(n_emit, axis, tiled=True)
