@@ -35,6 +35,13 @@ SCALE = 1 << LOG_RANGE
 CHUNK = 16384
 
 
+def _interp() -> bool:
+    """Run the Pallas kernels in interpret mode (CPU tests of the kernel
+    logic on tiny shapes; see tests/test_pallas_interpret.py)."""
+    import os
+    return os.environ.get("KANZI_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
 # ---------------------------------------------------------------------------
 # kernel 1: packed (freq | cum<<12) per-position lookup, 8 chunks per cell
 # ---------------------------------------------------------------------------
@@ -56,6 +63,7 @@ def _lookup(syms_i32: jax.Array, tables: jax.Array) -> jax.Array:
     n, c = syms_i32.shape
     return pl.pallas_call(
         _lookup_kernel,
+        interpret=_interp(),
         grid=(n // 8,),
         in_specs=[
             pl.BlockSpec((8, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -111,6 +119,7 @@ def _scan(lk: jax.Array, step_block: int = 128, lane_block: int = 16,
     rb = min(lane_block, r)
     emit, st = pl.pallas_call(
         functools.partial(_scan_kernel, lr=lr),
+        interpret=_interp(),
         grid=(r // rb, s // step_block),
         in_specs=[pl.BlockSpec((step_block, rb, 128), lambda i, j: (j, i, 0),
                                memory_space=pltpu.VMEM)],
@@ -204,6 +213,7 @@ def _scan_sub_fused(chunks_u8: jax.Array, tables: jax.Array, rb: int = 8,
     n, c = chunks_u8.shape
     wv, wf, st = pl.pallas_call(
         functools.partial(_scan_sub_fused_kernel, lr=lr),
+        interpret=_interp(),
         grid=(n // (rb * 128), c // 128),
         in_specs=[
             pl.BlockSpec((rb * 128, 128),
@@ -423,6 +433,7 @@ def _normalize_freqs_pallas(hist: jax.Array, total_shift: int, scale: int,
     rb = min(rows_per_cell, n)
     return pl.pallas_call(
         functools.partial(_norm_kernel, total_shift=total_shift, scale=scale),
+        interpret=_interp(),
         grid=(n // rb,),
         in_specs=[pl.BlockSpec((rb, 256), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -573,6 +584,7 @@ def _compact(e: jax.Array, chunks_per_cell: int = 8, u16_out: bool = False):
     out_dt = jnp.uint16 if u16_out else jnp.int32
     payload, cnt = pl.pallas_call(
         functools.partial(_compact_kernel, u16_out=u16_out),
+        interpret=_interp(),
         grid=(n // ch,),
         in_specs=[pl.BlockSpec((ch, nb, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -598,6 +610,7 @@ def _compact2(vals: jax.Array, flags: jax.Array, chunks_per_cell: int = 8):
     ch = min(chunks_per_cell, n)
     payload, cnt = pl.pallas_call(
         _compact2_kernel,
+        interpret=_interp(),
         grid=(n // ch,),
         in_specs=[pl.BlockSpec((ch, nb, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] * 2,
@@ -736,6 +749,7 @@ def _decode(tlo, thi, bnd, st0, pay):
     r = _DEC_ROWS
     return pl.pallas_call(
         _decode_kernel,
+        interpret=_interp(),
         grid=(n // r,),
         in_specs=[pl.BlockSpec((r, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 4
@@ -841,6 +855,7 @@ def _lookup1(ctx_u8: jax.Array, sym_u8: jax.Array, tbl: jax.Array,
     sym2 = sym_u8.reshape(n, c // 128, 128)
     out = pl.pallas_call(
         _lookup1_kernel,
+        interpret=_interp(),
         grid=(n, (c // 128) // rc),
         in_specs=[
             pl.BlockSpec((1, rc, 128), lambda i, j: (i, j, 0),

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ans_pallas import _lookup
+from .ans_pallas import _interp, _lookup
 
 MAX_SYMBOL_SIZE = 12
 CHUNK = 16384
@@ -154,6 +154,7 @@ def _decode(bnd, adj, st0, pay):
     r = _ROWS
     return pl.pallas_call(
         _decode_kernel,
+        interpret=_interp(),
         grid=(n // r,),
         in_specs=[pl.BlockSpec((r, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 3

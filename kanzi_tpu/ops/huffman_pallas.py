@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ans_pallas import _compact
+from .ans_pallas import _compact, _interp
 
 CHUNK = 16384
 STREAM = CHUNK // 4
@@ -94,6 +94,7 @@ def _hscan_fused(chunks_v: jax.Array, tbl: jax.Array, rb: int = 8):
     st = s // 128
     w, acc, nb = pl.pallas_call(
         _hscan_fused_kernel,
+        interpret=_interp(),
         grid=(n // (rb * 128), st),
         in_specs=[
             pl.BlockSpec((rb * 128, 4, 128), lambda i, j: (i, 0, j),

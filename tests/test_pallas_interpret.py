@@ -1,0 +1,105 @@
+"""CPU coverage of the Pallas kernel logic via interpret mode.
+
+The real kernels need a TPU (tests/test_ans_pallas.py, opt-in); these run
+the same kernel bodies through the Pallas interpreter on tiny shapes so the
+default CPU suite exercises the scan/compaction/normalization logic against
+independent numpy oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+CHUNK = 16384
+SCALE = 4096
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("KANZI_TPU_PALLAS_INTERPRET", "1")
+
+
+def test_scan_sub_fused_small():
+    import jax.numpy as jnp
+
+    from kanzi_tpu.ops.ans_pallas import _scan_sub_fused
+
+    rng = np.random.default_rng(2)
+    n, c = 128, 512
+    f = rng.integers(1, 4096, (n, 256)).astype(np.int64)
+    # consistent-enough tables: cum bounded so states stay in int32
+    cum = np.minimum(np.cumsum(f, axis=1) - f, 4096 - f)
+    chunks = rng.integers(0, 256, (n, c), dtype=np.uint8)
+    tables = (np.minimum(f, 4095) | (cum << 12)).astype(np.int32)
+
+    wv, wf, st = _scan_sub_fused(jnp.asarray(chunks), jnp.asarray(tables),
+                                 rb=1)
+    wv = np.asarray(wv).astype(np.int64)
+    wf = np.asarray(wf).astype(np.int64)
+    st = np.asarray(st).reshape(4, n).T
+
+    states = np.full((n, 4), 1 << 15, np.int64)
+    WV = np.zeros((n, c), np.int64)
+    WF = np.zeros((n, c), np.int64)
+    rows = np.arange(n)
+    for t in range(c):
+        u = t & 3
+        b = c - 1 - t
+        sym = chunks[:, b]
+        fv = np.minimum(f[rows, sym], 4095)
+        cm = cum[rows, sym]
+        stv = states[:, u]
+        em = (stv >> 19) >= fv
+        val = stv & 0xFFFF
+        st1 = np.where(em, stv >> 16, stv)
+        q, r = st1 // fv, st1 % fv
+        states[:, u] = (q << 12) + r + cm
+        WV[:, b] = val
+        WF[:, b] = em
+    WV = np.where(WF == 1, WV, 0)
+    assert np.array_equal(st, states.astype(np.int32))
+    assert np.array_equal(wf, WF)
+    assert np.array_equal(np.where(wf == 1, wv, 0), WV)
+
+
+def test_compact2_small():
+    import jax.numpy as jnp
+
+    from kanzi_tpu.ops.ans_pallas import _compact2
+
+    rng = np.random.default_rng(0)
+    n, nb = 8, 4
+    flag = (rng.random((n, nb * 128)) < 0.4).astype(np.uint8)
+    val = rng.integers(0, 65536, (n, nb * 128)).astype(np.uint16)
+    pay, cnt = _compact2(jnp.asarray(val.reshape(n, nb, 128)),
+                         jnp.asarray(flag.reshape(n, nb, 128)))
+    pay = np.asarray(pay).reshape(n, nb * 128)
+    assert np.array_equal(np.asarray(cnt).sum(1), flag.sum(1))
+    for i in range(n):
+        want = val[i][flag[i] == 1]
+        assert np.array_equal(pay[i, :want.size], want)
+
+
+def test_normalize_pallas_small():
+    import jax.numpy as jnp
+
+    from kanzi_tpu.entropy.utils import normalize_frequencies_batch
+    from kanzi_tpu.ops.ans_pallas import _normalize_freqs_pallas
+
+    rng = np.random.default_rng(1)
+    hists = []
+    for _ in range(32):
+        k = int(rng.integers(1, 257))
+        syms = rng.choice(256, k, replace=False)
+        w = rng.pareto(rng.uniform(0.2, 3.0), k) + 1e-9
+        h = np.zeros(256, np.int64)
+        h[syms] = 1 + rng.multinomial(CHUNK - k, w / w.sum())
+        hists.append(h)
+    hists = np.array(hists)
+    ref = normalize_frequencies_batch(hists, CHUNK, SCALE)
+    out = np.asarray(_normalize_freqs_pallas(
+        jnp.asarray(hists, jnp.int32), 14, SCALE, rows_per_cell=32))
+    assert np.array_equal(out, ref)
