@@ -650,7 +650,7 @@ _DEC_ROWS = 64           # chunks per grid cell
 _DEC_PAY_ROWS = 130      # 33 KiB of payload per chunk as 16-bit words
 
 
-def _decode_kernel(tlo_ref, thi_ref, bnd_ref, st0_ref, pay_ref,
+def _decode_kernel(tlo_ref, thi_ref, bnd_ref, crs_ref, st0_ref, pay_ref,
                    out_ref, used_ref,
                    st_scr, w0, w1, ptr_scr, sym_scr, pack_scr):
     rows = _DEC_ROWS
@@ -660,7 +660,8 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, st0_ref, pay_ref,
     ptr_scr[:] = jnp.zeros((rows, 128), jnp.int32)
     tlo = tlo_ref[:]
     thi = thi_ref[:]
-    bnd = bnd_ref[:]          # bounds packed two 16-bit entries per word
+    bnd = bnd_ref[:]          # dense bounds packed two 16-bit entries per word
+    crs = crs_ref[:]          # coarse rank at each 16-slot boundary, 2/word
 
     def gather2(lo, hi, idx):
         g_lo = jnp.take_along_axis(lo, jnp.bitwise_and(idx, 127), axis=1)
@@ -680,12 +681,18 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, st0_ref, pay_ref,
         def inner(j, _):
             st = st_scr[:]
             slot = jnp.bitwise_and(st, SCALE - 1)
-            # symbol = #{s: bounds[s] <= slot}; binary search over the
-            # 2-packed bounds: one gather per probe
-            g = jnp.zeros((rows, 128), jnp.int32)
-            for step in (128, 64, 32, 16, 8, 4, 2, 1):
+            # rank = #{r: dense_bound[r] <= slot}.  Coarse start: rank at
+            # the 16-slot boundary below (1 gather); the dense bounds are
+            # strictly increasing, so at most 15 lie in (16b, 16b+15] and
+            # 4 fine probes finish the count.
+            b = jnp.right_shift(slot, 4)
+            cw = jnp.take_along_axis(crs, jnp.right_shift(b, 1), axis=1)
+            g = jnp.bitwise_and(
+                jnp.right_shift(cw, jnp.left_shift(
+                    jnp.bitwise_and(b, 1), 4)), 0xFFFF)
+            for step in (8, 4, 2, 1):
                 probe = g + step
-                idx = probe - 1
+                idx = jnp.minimum(probe - 1, 255)   # pad bounds read as 8191
                 w = jnp.take_along_axis(bnd, jnp.right_shift(idx, 1), axis=1)
                 pv = jnp.bitwise_and(
                     jnp.right_shift(w, jnp.left_shift(
@@ -741,10 +748,10 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, st0_ref, pay_ref,
     used_ref[:] = ptr_scr[:]
 
 
-def _decode(tlo, thi, bnd, st0, pay):
+def _decode(tlo, thi, bnd, crs, st0, pay):
     """All args row-padded to N % 64 == 0.  pay is (N, 130, 128) int32
     big-endian 16-bit words.  Returns out (N, 4096) int32 little-endian
-    4-packed symbols and used (N, 128) byte counts."""
+    4-packed symbol RANKS and used (N, 128) byte counts."""
     n = tlo.shape[0]
     r = _DEC_ROWS
     return pl.pallas_call(
@@ -752,7 +759,7 @@ def _decode(tlo, thi, bnd, st0, pay):
         interpret=_interp(),
         grid=(n // r,),
         in_specs=[pl.BlockSpec((r, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] * 4
+                               memory_space=pltpu.VMEM)] * 5
         + [pl.BlockSpec((r, _DEC_PAY_ROWS, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=[
@@ -772,7 +779,7 @@ def _decode(tlo, thi, bnd, st0, pay):
             pltpu.VMEM((r, 128), jnp.int32),   # symbol accumulation tile
             pltpu.VMEM((r, 128), jnp.int32),   # packed-output tile
         ],
-    )(tlo, thi, bnd, st0, pay)
+    )(tlo, thi, bnd, crs, st0, pay)
 
 
 @jax.jit
@@ -796,16 +803,38 @@ def ans0_decode_chunks_pallas(payload: jax.Array, states: jax.Array,
         cum = jnp.pad(cum, pad, mode="edge")
         states = jnp.pad(states, pad, mode="edge")
     freq_cap = jnp.minimum(freq, SCALE - 1)
-    tbl = jnp.bitwise_or(freq_cap, jnp.left_shift(cum, LOG_RANGE)).astype(jnp.int32)
-    bounds = (cum + freq_cap).astype(jnp.int32)              # 13-bit values
+    # dense rank order: present symbols first, in symbol order; absent
+    # symbols pad the tail with +inf bounds so the rank search skips them
+    sym_iota = jax.lax.broadcasted_iota(jnp.int32, freq.shape, 1)
+    keys = jnp.where(freq > 0, sym_iota, 4096 + sym_iota)
+    perm = jnp.argsort(keys, axis=1).astype(jnp.int32)       # rank -> symbol
+    f_d = jnp.take_along_axis(freq_cap, perm, axis=1)
+    cum_d = jnp.take_along_axis(cum, perm, axis=1)
+    nsym = jnp.sum((freq > 0).astype(jnp.int32), axis=1, keepdims=True)
+    rank_iota = jax.lax.broadcasted_iota(jnp.int32, freq.shape, 1)
+    bounds = jnp.where(rank_iota < nsym, cum_d + f_d, 8191).astype(jnp.int32)
+    tbl = jnp.bitwise_or(f_d, jnp.left_shift(cum_d, LOG_RANGE)).astype(jnp.int32)
     bnd = jnp.bitwise_or(bounds[:, 0::2],
                          jnp.left_shift(bounds[:, 1::2], 16)).astype(jnp.int32)
+    # coarse rank at each 16-slot boundary: crs[b] = #{r: bounds[r] <= 16b}
+    # == #{r: ceil(bounds[r]/16) <= b}  (strictly increasing dense bounds)
+    key16 = jnp.right_shift(bounds + 15, 4)                  # (N, 256) <= 512
+    bix = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+
+    def _coarse(k16_slice):
+        return jnp.sum((k16_slice[:, None, :] <= bix[:, :, None])
+                       .astype(jnp.int32), axis=2)
+    crs_full = jax.lax.map(_coarse, key16.reshape(-1, 64, 256)
+                           ).reshape(npad, 256)
+    crs = jnp.bitwise_or(crs_full[:, 0::2],
+                         jnp.left_shift(crs_full[:, 1::2], 16)).astype(jnp.int32)
     st0 = jnp.pad(states.astype(jnp.int32), ((0, 0), (0, 124)))
-    packed_out, used = _decode(tbl[:, :128], tbl[:, 128:], bnd, st0, pay)
+    packed_out, used = _decode(tbl[:, :128], tbl[:, 128:], bnd, crs, st0, pay)
     shifts = jnp.array([0, 8, 16, 24], jnp.int32)
-    out = jnp.bitwise_and(
+    ranks = jnp.bitwise_and(
         jnp.right_shift(packed_out[:, :, None], shifts[None, None, :]), 255)
-    out = out.reshape(npad, CHUNK)
+    ranks = ranks.reshape(npad, CHUNK)
+    out = _lookup(ranks, perm)                               # rank -> symbol
     return out[:n0].astype(jnp.uint8), used[:n0, 0]
 
 def _pad_rows(n: int) -> int:
