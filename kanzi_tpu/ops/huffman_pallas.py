@@ -22,7 +22,6 @@ two-kernel pipeline are gone (3.5 -> 5.3 GB/s).
 
 from __future__ import annotations
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ independent numpy oracles.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pytest
 
