@@ -91,7 +91,7 @@ def _out_path(args, suffix: str, strip: str) -> str:
     return args.input + suffix
 
 
-def _input_files(args) -> list[str]:
+def _input_files(args) -> list[tuple[str, str | None]]:
     """Expand the -i argument: file, comma list, or directory (recursed).
 
     Mirrors K/app/BlockCompressor.java:256 + IOUtil enumeration with the
@@ -99,19 +99,48 @@ def _input_files(args) -> list[str]:
     """
     from ..io.ioutil import create_file_list, sort_files_by_path_and_size
     files: list = []
+    basedirs: dict = {}
     for part in args.input.split(","):
         part = part.strip()
         if not part:
             continue
         if os.path.isdir(part):
-            files.extend(create_file_list(part, skip_links=args.skip_links,
-                                          skip_dot_files=args.skip_dot_files))
+            found = create_file_list(part, skip_links=args.skip_links,
+                                     skip_dot_files=args.skip_dot_files)
+            files.extend(found)
+            for f in found:
+                basedirs[str(f)] = part
         else:
             from pathlib import Path
             files.append(Path(part))
     if len(files) > 1:
         sort_files_by_path_and_size(files, not args.no_file_reorder)
-    return [str(f) for f in files]
+    return [(str(f), basedirs.get(str(f))) for f in files]
+
+
+def _check_dir_output(args, inputs) -> int:
+    """Directory input + explicit output requires an existing directory
+    (BlockCompressor.java:326-333); returns an error code or 0."""
+    special = (args.output or "").upper() in ("", "NONE", "STDOUT")
+    if special or not any(base for _, base in inputs):
+        return 0
+    if not os.path.isdir(args.output):
+        print("Output must be an existing directory (or 'NONE')",
+              file=sys.stderr)
+        return Error.ERR_CREATE_FILE
+    return 0
+
+
+def _rel_out(path: str, base: str | None, out_dir: str, suffix: str) -> str:
+    """Mirror the input's path relative to its source directory under the
+    output directory (BlockCompressor.java:375-377), creating parents."""
+    rel = os.path.relpath(path, base) if base else os.path.basename(path)
+    out = os.path.join(out_dir, rel + suffix) if suffix else \
+        os.path.join(out_dir, rel)
+    parent = os.path.dirname(out)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    return out
 
 
 def _compress(args) -> int:
@@ -131,18 +160,24 @@ def _compress(args) -> int:
     if not inputs:
         print("No input files found", file=sys.stderr)
         return Error.ERR_OPEN_FILE
+    err = _check_dir_output(args, inputs)
+    if err:
+        return err
     multi = len(inputs) > 1
-    out_dir = args.output if multi and args.output and os.path.isdir(args.output) else None
+    dir_in = any(base for _, base in inputs)
+    out_dir = args.output if args.output and (multi or dir_in) \
+        and os.path.isdir(args.output) else None
     total_read = total_written = 0
     t0 = time.time()
-    for path in inputs:
+    for path, base in inputs:
         file_size = os.path.getsize(path) if os.path.isfile(path) else 0
         block = _parse_block_size(args.block, file_size, jobs) if args.block else default_block
         if (args.output or "").upper() == "NONE":
             out = os.devnull                    # sink (Kanzi.java -o NONE)
-        elif multi:
-            out = (os.path.join(out_dir, os.path.basename(path) + ".knz")
-                   if out_dir else path + ".knz")
+        elif out_dir:
+            out = _rel_out(path, base, out_dir, ".knz")
+        elif multi or (dir_in and not args.output):
+            out = path + ".knz"
         else:
             out = _out_path(args, ".knz", "")
         if out != os.devnull and os.path.exists(out) and not args.force:
@@ -177,16 +212,25 @@ def _decompress(args) -> int:
     if not inputs:
         print("No input files found", file=sys.stderr)
         return Error.ERR_OPEN_FILE
+    err = _check_dir_output(args, inputs)
+    if err:
+        return err
     multi = len(inputs) > 1
-    out_dir = args.output if multi and args.output and os.path.isdir(args.output) else None
-    for path in inputs:
+    dir_in = any(base for _, base in inputs)
+    out_dir = args.output if args.output and (multi or dir_in) \
+        and os.path.isdir(args.output) else None
+    for path, base in inputs:
         if (args.output or "").upper() == "NONE":
             out = os.devnull                    # sink (Kanzi.java -o NONE)
-        elif multi:
-            base = os.path.basename(path)
-            base = base[:-4] if base.endswith(".knz") else base + ".out"
-            out = os.path.join(out_dir, base) if out_dir else (
-                path[:-4] if path.endswith(".knz") else path + ".out")
+        elif out_dir:
+            rel = os.path.relpath(path, base) if base else os.path.basename(path)
+            rel = rel[:-4] if rel.endswith(".knz") else rel + ".out"
+            out = os.path.join(out_dir, rel)
+            parent = os.path.dirname(out)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+        elif multi or (dir_in and not args.output):
+            out = path[:-4] if path.endswith(".knz") else path + ".out"
         else:
             out = _out_path(args, ".out", ".knz")
         if out != os.devnull and os.path.exists(out) and not args.force:
