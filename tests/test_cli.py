@@ -1,0 +1,69 @@
+"""CLI behavior tests (kanzi_tpu.app.__main__) — flag semantics that the
+library-level tests do not cover: directory inputs/outputs, -o NONE,
+overwrite protection (K/app/Kanzi.java + BlockCompressor.java semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from kanzi_tpu.app.__main__ import main
+from kanzi_tpu.core.errors import Error
+
+
+@pytest.fixture
+def tree(tmp_path):
+    rng = np.random.default_rng(0)
+    d = tmp_path / "src"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.bin").write_bytes(bytes(rng.integers(65, 91, 50000, dtype=np.uint8)))
+    (d / "sub" / "b.bin").write_bytes(b"hello world " * 4000)
+    return d
+
+
+def test_dir_output_must_exist(tree, tmp_path, capsys):
+    rc = main(["-c", "-f", "-i", str(tree), "-o", str(tmp_path / "missing"),
+               "-l", "1", "-v", "0"])
+    assert rc == Error.ERR_CREATE_FILE
+    assert "existing directory" in capsys.readouterr().err
+
+
+def test_dir_round_trip_mirrors_subpaths(tree, tmp_path):
+    out = tmp_path / "out"
+    dec = tmp_path / "dec"
+    out.mkdir()
+    dec.mkdir()
+    assert main(["-c", "-f", "-i", str(tree), "-o", str(out),
+                 "-l", "1", "-v", "0"]) == 0
+    assert (out / "a.bin.knz").is_file()
+    assert (out / "sub" / "b.bin.knz").is_file()
+    assert main(["-d", "-f", "-i", str(out), "-o", str(dec),
+                 "-v", "0"]) == 0
+    assert (dec / "a.bin").read_bytes() == (tree / "a.bin").read_bytes()
+    assert (dec / "sub" / "b.bin").read_bytes() == \
+        (tree / "sub" / "b.bin").read_bytes()
+
+
+def test_dir_without_output_writes_beside_inputs(tree):
+    assert main(["-c", "-f", "-i", str(tree), "-l", "1", "-v", "0"]) == 0
+    assert (tree / "a.bin.knz").is_file()
+    assert (tree / "sub" / "b.bin.knz").is_file()
+
+
+def test_output_none_sink(tree):
+    assert main(["-c", "-f", "-i", str(tree / "a.bin"), "-o", "NONE",
+                 "-l", "1", "-v", "0"]) == 0
+
+
+def test_overwrite_protection(tree, tmp_path):
+    out = tmp_path / "x.knz"
+    assert main(["-c", "-i", str(tree / "a.bin"), "-o", str(out),
+                 "-l", "1", "-v", "0"]) == 0
+    rc = main(["-c", "-i", str(tree / "a.bin"), "-o", str(out),
+               "-l", "1", "-v", "0"])
+    assert rc == Error.ERR_OVERWRITE_FILE
+    assert main(["-c", "-f", "-i", str(tree / "a.bin"), "-o", str(out),
+                 "-l", "1", "-v", "0"]) == 0
