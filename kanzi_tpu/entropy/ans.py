@@ -286,6 +286,9 @@ class ANSRangeDecoder:
 
     def decode(self, count: int, br: BitReader | None = None) -> np.ndarray:
         br = br or self.br
+        if self.bs_version >= 4 and self._device_decode_ok(count):
+            from ..ops.ans_block import ans0_decode
+            return ans0_decode(count, br)
         if self.bs_version >= 4:
             from ..utils.native_coders import ans_decode_native
             res = ans_decode_native(count, br, self.order, self._chunk_size0)
@@ -300,6 +303,21 @@ class ANSRangeDecoder:
             self._decode_chunk(out, start, end, br)
             start = end
         return out
+
+    def _device_decode_ok(self, count: int) -> bool:
+        """Mirror of the encoder's KANZI_TPU_DEVICE_ANS gate (order 0,
+        default chunk size / log range, at least a few full chunks)."""
+        import os
+        if os.environ.get("KANZI_TPU_DEVICE_ANS", "0") != "1":
+            return False
+        if (self.order != 0 or self._chunk_size0 != DEFAULT_ANS0_CHUNK_SIZE
+                or count < 4 * self._chunk_size0):
+            return False
+        try:
+            import jax
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
 
     def _decode_chunk(self, out: np.ndarray, start: int, end: int,
                       br: BitReader) -> None:
