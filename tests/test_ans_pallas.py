@@ -201,6 +201,26 @@ def test_huffman_device_bit_exact():
 
 
 @pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
+def test_ans_codec_device_gate_round_trip(monkeypatch):
+    import numpy as _np
+    from kanzi_tpu.core.bits import BitReader, BitWriter
+    from kanzi_tpu.entropy.ans import ANSRangeDecoder, ANSRangeEncoder
+
+    monkeypatch.setenv("KANZI_TPU_DEVICE_ANS", "1")
+    rng = _np.random.default_rng(23)
+    data = (rng.zipf(1.4, 9 * CHUNK + 777) % 230).astype(_np.uint8)
+    bw = BitWriter()
+    enc = ANSRangeEncoder(bw, order=0)
+    enc.encode(data)
+    enc.dispose()
+    dec = ANSRangeDecoder(BitReader(_np.frombuffer(bw.getvalue(), _np.uint8)),
+                          order=0)
+    assert dec._device_decode_ok(len(data))
+    out = dec.decode(len(data))
+    assert _np.array_equal(out, data)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="Pallas kernels need a TPU")
 def test_huffman_device_decode_round_trip():
     import os
     from kanzi_tpu.core.bits import BitReader, BitWriter
