@@ -133,14 +133,11 @@ def _check_dir_output(args, inputs) -> int:
 
 def _rel_out(path: str, base: str | None, out_dir: str, suffix: str) -> str:
     """Mirror the input's path relative to its source directory under the
-    output directory (BlockCompressor.java:375-377), creating parents."""
+    output directory (BlockCompressor.java:375-377).  Pure path computation:
+    parents are created by the caller only after overwrite checks pass."""
     rel = os.path.relpath(path, base) if base else os.path.basename(path)
-    out = os.path.join(out_dir, rel + suffix) if suffix else \
+    return os.path.join(out_dir, rel + suffix) if suffix else \
         os.path.join(out_dir, rel)
-    parent = os.path.dirname(out)
-    if parent:
-        os.makedirs(parent, exist_ok=True)
-    return out
 
 
 def _compress(args) -> int:
@@ -183,6 +180,10 @@ def _compress(args) -> int:
         if out != os.devnull and os.path.exists(out) and not args.force:
             print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
             return Error.ERR_OVERWRITE_FILE
+        if out != os.devnull:
+            parent = os.path.dirname(out)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
         bc = BlockCompressor(transform=transform, entropy=entropy, block_size=block,
                              jobs=jobs, checksum=int(args.checksum or 0),
                              skip_blocks=args.skip, verbosity=args.verbose)
@@ -226,9 +227,6 @@ def _decompress(args) -> int:
             rel = os.path.relpath(path, base) if base else os.path.basename(path)
             rel = rel[:-4] if rel.endswith(".knz") else rel + ".out"
             out = os.path.join(out_dir, rel)
-            parent = os.path.dirname(out)
-            if parent:
-                os.makedirs(parent, exist_ok=True)
         elif multi or (dir_in and not args.output):
             out = path[:-4] if path.endswith(".knz") else path + ".out"
         else:
@@ -236,6 +234,10 @@ def _decompress(args) -> int:
         if out != os.devnull and os.path.exists(out) and not args.force:
             print(f"Output file {out} exists (use -f to overwrite)", file=sys.stderr)
             return Error.ERR_OVERWRITE_FILE
+        if out != os.devnull:
+            parent = os.path.dirname(out)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
         bd = BlockDecompressor(jobs=jobs, verbosity=args.verbose,
                                from_block=args.from_block, to_block=args.to_block)
         t0 = time.time()

@@ -320,8 +320,9 @@ class ANSRangeDecoder:
             return False
 
     def _decode_chunk(self, out: np.ndarray, start: int, end: int,
-                      br: BitReader) -> None:
-        lr = 8 + br.read_bits(3)
+                      br: BitReader, lr: int | None = None) -> None:
+        if lr is None:
+            lr = 8 + br.read_bits(3)
         if not 8 <= lr <= 15:
             raise BitStreamError("invalid ANS range", BitStreamError.INVALID_STREAM)
         scale = 1 << lr

@@ -481,6 +481,14 @@ class HuffmanDecoder:
                     out[start:start + sz] = self.alphabet[0]
                 elif device_q is not None and sz == MAX_CHUNK_SIZE:
                     sz_bits = [eu.read_varint(br) for _ in range(4)]
+                    # each stream carries chunk/4 symbols of <= 12 bits; a
+                    # larger declared size is a corrupt varint (host path
+                    # bounds-checks the same way via its fragment budget)
+                    max_bits = MAX_SYMBOL_SIZE * (MAX_CHUNK_SIZE // 4)
+                    if any(b > max_bits for b in sz_bits):
+                        raise BitStreamError(
+                            "Huffman stream size out of range",
+                            BitStreamError.INVALID_STREAM)
                     streams = [np.packbits(br.read_bit_array(b))
                                for b in sz_bits]
                     device_q.append((start, sz_bits, streams,
@@ -514,8 +522,18 @@ class HuffmanDecoder:
 
 def _use_device_decode(count: int, chunk_size: int) -> bool:
     import os
-    return (os.environ.get("KANZI_TPU_DEVICE_HUFFMAN", "0") == "1"
-            and chunk_size == MAX_CHUNK_SIZE and count >= MAX_CHUNK_SIZE)
+    if (os.environ.get("KANZI_TPU_DEVICE_HUFFMAN", "0") != "1"
+            or chunk_size != MAX_CHUNK_SIZE or count < MAX_CHUNK_SIZE):
+        return False
+    # Mirror the encoder gate (_encode_full_chunks_tpu): require a working
+    # jax TPU backend (or interpret mode) before committing to the device
+    # path, so the env var on a CPU-only host falls back to the host decoder.
+    try:
+        import jax
+        return (jax.default_backend() == "tpu"
+                or os.environ.get("KANZI_TPU_PALLAS_INTERPRET", "0") == "1")
+    except Exception:
+        return False
 
 
 def _device_decode_batch(device_q, out: np.ndarray) -> None:

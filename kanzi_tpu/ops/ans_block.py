@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.bits import BitReader, BitWriter
+from ..core.errors import BitStreamError
 from ..entropy import ans as hans
 from ..entropy import utils as eu
 from . import ans as jans
@@ -45,6 +46,28 @@ def _encode_kernel():
         from .ans_pallas import ans0_encode_chunks_pallas
         return ans0_encode_chunks_pallas
     return jans.ans0_encode_chunks
+
+
+def assemble_ans0_wire(bw: BitWriter, freq: np.ndarray, nsym: np.ndarray,
+                       alphabets: list, n_emit: np.ndarray,
+                       states: np.ndarray, payload: np.ndarray,
+                       rowmap: np.ndarray) -> None:
+    """Serialize per-chunk ANS0 wire records (lr, freq header, varint size,
+    4x32-bit states, big-endian u16 payload — ANSRangeEncoder.java:263-305)
+    from device-produced arrays.  ``rowmap[i]`` is the payload row for chunk
+    ``i`` (single-symbol chunks have no payload and are skipped)."""
+    for i in range(len(nsym)):
+        bw.write_bits(jans.LOG_RANGE - 8, 3)
+        hans._write_freqs_header(bw, alphabets[i], freq[i], jans.LOG_RANGE)
+        if nsym[i] <= 1:
+            continue  # skipped chunk (single symbol)
+        k = rowmap[i]
+        ne = int(n_emit[k])
+        pay = payload[k, :ne].astype(">u2").tobytes()
+        eu.write_varint(bw, len(pay))
+        for j in range(4):
+            bw.write_bits(int(states[k, j]), 32)
+        bw.write_bytes(pay)
 
 
 def ans0_encode(block: np.ndarray, bw: BitWriter) -> int:
@@ -90,18 +113,8 @@ def ans0_encode(block: np.ndarray, bw: BitWriter) -> int:
                 payload = np.asarray(payload)
                 n_emit = np.asarray(n_emit)
                 states = np.asarray(states)
-        for i in range(nfull):
-            bw.write_bits(jans.LOG_RANGE - 8, 3)
-            hans._write_freqs_header(bw, alphabets[i], freq[i], jans.LOG_RANGE)
-            if nsym[i] <= 1:
-                continue  # skipped chunk (single symbol)
-            k = rowmap[i]
-            ne = int(n_emit[k])
-            pay = payload[k, :ne].astype(">u2").tobytes()
-            eu.write_varint(bw, len(pay))
-            for j in range(4):
-                bw.write_bits(int(states[k, j]), 32)
-            bw.write_bytes(pay)
+        assemble_ans0_wire(bw, freq, nsym, alphabets, n_emit, states,
+                           payload, rowmap)
     if tail:
         enc = hans.ANSRangeEncoder(bw, 0)
         enc._encode_chunk(block[nfull * CHUNK:], bw)
@@ -191,15 +204,25 @@ def ans0_decode(count: int, br: BitReader) -> np.ndarray:
     tail = count - nfull * CHUNK
     # stage 1 (host, sequential): parse per-chunk headers and slice payloads
     metas = []  # (start, freq, cum, states, payload_bytes) or (start, symbol)
+    host_resume = None  # (first host chunk index, its already-read log range)
     for i in range(nfull):
         lr = 8 + br.read_bits(3)
         if lr != jans.LOG_RANGE:
-            raise ValueError("unsupported log range for TPU decode")
+            # valid streams may use any lr in [8,15]; the device kernel is
+            # specialized to the default 12, so decode the rest on the host
+            if not 8 <= lr <= 15:
+                raise BitStreamError("invalid ANS range",
+                                     BitStreamError.INVALID_STREAM)
+            host_resume = (i, lr)
+            break
         alpha, freqs = hans._read_freqs_header(br, lr)
         if len(alpha) <= 1:
             metas.append((i * CHUNK, int(alpha[0]) if len(alpha) else 0))
             continue
         sz = eu.read_varint(br)
+        if sz >= hans.MAX_CHUNK_SIZE:
+            raise BitStreamError("invalid ANS chunk size",
+                                 BitStreamError.INVALID_STREAM)
         states = [br.read_bits(32) for _ in range(4)]
         pay = br.read_bytes(sz)
         metas.append((i * CHUNK, freqs, states, pay))
@@ -227,11 +250,22 @@ def ans0_decode(count: int, br: BitReader) -> np.ndarray:
         consumed = np.asarray(consumed)
         for k, m in enumerate(full):
             if int(consumed[k]) != len(m[3]):
-                raise ValueError("ANS payload size mismatch (TPU decode)")
+                raise BitStreamError("ANS payload size mismatch (TPU decode)",
+                                     BitStreamError.INVALID_STREAM)
             out[m[0]:m[0] + CHUNK] = res[k]
     for m in metas:
         if len(m) == 2:
             out[m[0]:m[0] + CHUNK] = m[1]
+    if host_resume is not None:
+        i0, lr0 = host_resume
+        dec = hans.ANSRangeDecoder(br, 0)
+        dec._decode_chunk(out, i0 * CHUNK, min((i0 + 1) * CHUNK, count),
+                          br, lr=lr0)
+        for i in range(i0 + 1, nfull):
+            dec._decode_chunk(out, i * CHUNK, (i + 1) * CHUNK, br)
+        if tail:
+            dec._decode_chunk(out, nfull * CHUNK, count, br)
+        return out
     if tail:
         dec = hans.ANSRangeDecoder(br, 0)
         dec._decode_chunk(out, nfull * CHUNK, count, br)
