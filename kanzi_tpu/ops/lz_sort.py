@@ -1,0 +1,298 @@
+"""TPU LZX encode v2: batched content-sort match finder, gather-free.
+
+Redesign of ops/lz_tpu.py driven by measured TPU primitive costs (v5e):
+arbitrary gathers/scatters and sorts cost ~1-4 ns/element/operand, while
+elementwise/shift/scan ops are effectively free.  The v1 engine spent its
+time in ~70 full-block gathers (hash probing + match extension +
+pointer-doubling parse); v2 uses NO data-dependent gathers at all and
+exactly three sorts with minimal operand counts (sort time scales with the
+number of carried arrays, so values are bit-packed into single i32s):
+
+  1. the block is cut into overlapping 256 KiB rows (192 KiB stride,
+     64 KiB context window = the format's 16-bit distance budget) stacked
+     on a batch axis; jax.lax.sort sorts rows independently in one launch
+  2. sort #1 (k0, k1, idx): rows ordered by exact 8-byte window content
+     (two big-endian int32 keys) — the nearest previous occurrence of the
+     same 8 bytes is the sorted predecessor (stable sort => ascending
+     positions within equal keys), probed at radius 1..3; byte equality is
+     guaranteed by construction, not by hash.  A predecessor equal in k0
+     only yields the exact 4..7-byte match length from the leading equal
+     bytes of k1^k1'.  Device match length is capped at 8: longer repeats
+     become chains of adjacent same-distance tokens that the emitter fuses
+     back into single long matches (lz_tpu._merge_adjacent), and the host
+     emitter can extend byte-exactly where chaining does not apply
+  3. sort #2 (idx, pack(cand,mlen)): back to position order
+  4. exact one-step-lazy greedy parse with no serial walk: windowed
+     entry-state maps composed by associative scan (see _parse_stage)
+  5. sort #3 (~kept, pack(pos,mlen), dist): compact chosen tokens to the
+     front in position order for a small device->host fetch
+  6. wire emission reuses ops/lz_tpu._emit (vectorized host numpy)
+
+The output is a valid v7 LZX section stream (LZCodec.java:144-760
+semantics); distances are bounded by the 64 KiB row context so the stream
+always uses the 16-bit-distance mode byte.  The parse differs from the
+reference's serial hash-chain greedy parse; the format does not.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .lz_tpu import MIN_BLOCK_LENGTH, _emit
+
+MAX_DISTANCE1 = (1 << 16) - 2
+
+ROW = 1 << 18                 # 256 KiB rows
+STRIDE = 3 * (1 << 16)        # 192 KiB of token positions per row
+OV = ROW - STRIDE             # 64 KiB context window (max match distance)
+MAX_MLEN = 8                  # device-measured cap (chains/merge go longer)
+EDGE = 16                     # no claims this close to a row end (padding)
+_SIGN = np.int32(-0x80000000)  # two's-complement sign flip: u32 sort order
+
+
+def _pad_rows(count: int) -> int:
+    """Bucket the row count to bound distinct compiled shapes (multiples of
+    4: sort time scales with padded rows; a 4 MiB block needs 22 rows)."""
+    b = -(-count // STRIDE)
+    return max(-(-b // 4) * 4, 4)
+
+
+def _match_stage(glob, src_end, mm: int, nrows: int):
+    """Match finding: returns flat position-order (mlen, dist) arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = jnp.stack([jax.lax.slice(glob, (g * STRIDE,),
+                                    (g * STRIDE + ROW,))
+                      for g in range(nrows)])
+    b = rows.astype(jnp.int32)
+
+    def byte_at(k):  # b shifted left by k along the row, zero-filled
+        return jnp.concatenate(
+            [b[:, k:], jnp.zeros((nrows, k), jnp.int32)], axis=1)
+
+    bs = [byte_at(k) for k in range(4)]
+    w0 = (bs[0] << 24) | (bs[1] << 16) | (bs[2] << 8) | bs[3]
+    w1 = jnp.concatenate([w0[:, 4:], jnp.zeros((nrows, 4), jnp.int32)],
+                         axis=1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nrows, ROW), 1)
+
+    # ---- sort #1: exact 8-byte content (unsigned lexicographic) ----
+    k0, k1, sidx = jax.lax.sort((w0 ^ _SIGN, w1 ^ _SIGN, idx),
+                                num_keys=2, is_stable=True)
+
+    def rolled(x, r):  # sorted predecessor at radius r (row-local shift)
+        return jnp.concatenate(
+            [jnp.zeros((nrows, r), x.dtype), x[:, :-r]], axis=1)
+
+    pos_ok = (sidx <= ROW - EDGE)
+    # row 0's left context is zero padding, not block bytes: candidates
+    # there would reference data before the block start (wire-invalid)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (nrows, ROW), 0) == 0
+    cand = jnp.zeros((nrows, ROW), jnp.int32)
+    mlen = jnp.zeros((nrows, ROW), jnp.int32)
+    # a predecessor equal in both keys shares >= 8 bytes; equal in k0 only
+    # shares exactly 4 + lead-bytes(k1^k1') in [4,8) (sign flips cancel)
+    for r in (3, 2, 1):  # nearest radius wins (sorted => contiguous keys)
+        eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the filled prefix
+        eq = eq0 & (k1 == rolled(k1, r))
+        c = rolled(sidx, r)
+        base = eq0 & pos_ok & (~row0 | (c >= OV)) \
+            & (sidx - c > 0) & (sidx - c <= MAX_DISTANCE1)
+        x4 = (k1 ^ rolled(k1, r)).astype(jnp.uint32)
+        l4 = 4 + ((x4 < (1 << 24)).astype(jnp.int32)
+                  + (x4 < (1 << 16)).astype(jnp.int32)
+                  + (x4 < (1 << 8)).astype(jnp.int32))
+        l = jnp.where(eq, 8, l4)
+        cand = jnp.where(base, c, cand)
+        mlen = jnp.where(base, l, mlen)
+
+    # ---- sort #2: back to position order; (cand, mlen) packed in one i32
+    # (cand < 2^18, mlen-4 in [0,4] -> 3 bits) ----
+    pack = (cand << 3) | (mlen - jnp.where(mlen > 0, 4, 0))
+    pack = jnp.where(mlen > 0, pack, -1)
+    _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
+    has = pk >= 0
+    cand_p = jnp.where(has, pk >> 3, 0)
+    mlen_p = jnp.where(has, (pk & 7) + 4, 0)
+    dist_p = idx - cand_p
+
+    # token region of row g = local [OV, ROW) = global [g*STRIDE,(g+1)*STRIDE)
+    dist = dist_p[:, OV:].reshape(-1)
+    mlen = mlen_p[:, OV:].reshape(-1)
+    n = nrows * STRIDE
+    pos = jax.lax.iota(jnp.int32, n)
+    mlen = jnp.minimum(mlen, jnp.maximum(src_end - pos, 0))
+    mlen = jnp.where(mlen >= max(mm, 4), mlen, 0)
+    return mlen, dist
+
+
+def _parse_stage(mlen, dist, mm: int):
+    """Exact one-step-lazy greedy cover, fully parallel (no serial walk,
+    no gathers).
+
+    The greedy walk 'take the match at p, jump to p+len, else advance 1' is
+    a chain of jumps; a naive extraction is serial, a pointer-doubling one
+    is gather-bound.  Instead: cut positions into windows of W.  A token is
+    <= MAX_MLEN bytes, so the walk enters any window at overhang offset
+    0..MAX_MLEN — SMAX possible entry states.  Phase A runs the in-window
+    walk for ALL entry states at once as a W-step scan over (nwin, SMAX)
+    vectors, yielding each window's entry->exit map; the maps compose by
+    jax.lax.associative_scan (function composition over an SMAX-point
+    domain), giving every window's true entry state in log(nwin) rounds.
+    Phase B re-runs the walk once with the known entry, emitting the kept
+    mask.  Token values are then compacted by one small sort.
+
+    Returns (pos_c, mlen_c, dist_c, n_tok): token arrays compacted to the
+    front in position order, plus the token count.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = mlen.shape[0]
+    W = 64
+    SMAX = MAX_MLEN + 1  # overhang states (entry >= W would skip the window)
+    nwin = n // W
+    ok = mlen >= max(mm, 4)
+    mnext = jnp.concatenate([mlen[1:], jnp.zeros(1, jnp.int32)])
+    take = ok & ~(mnext > mlen)            # one-step lazy
+    take2 = take.reshape(nwin, W)
+    ml2 = mlen.reshape(nwin, W)
+
+    states = jax.lax.broadcasted_iota(jnp.int32, (nwin, SMAX), 1)
+
+    # phase A: entry->exit maps for all SMAX states
+    def stepA(p, t):
+        at = p == t
+        p2 = jnp.where(at, jnp.where(take2[:, t][:, None],
+                                     t + ml2[:, t][:, None], t + 1), p)
+        return p2, None
+    exit_p, _ = jax.lax.scan(stepA, states,
+                             jnp.arange(W, dtype=jnp.int32), unroll=16)
+    maps = exit_p - W                      # (nwin, SMAX) in [0, MAX_MLEN]
+
+    def compose(a, b):                     # out[e] = b[a[e]]
+        out = jnp.zeros_like(a)
+        for j in range(SMAX):
+            out = jnp.where(a == j, b[..., j:j + 1], out)
+        return out
+
+    prefix = jax.lax.associative_scan(compose, maps, axis=0)
+    ident = jax.lax.broadcasted_iota(jnp.int32, (1, SMAX), 1)
+    excl = jnp.concatenate([ident, prefix[:-1]], axis=0)
+    entry = excl[:, 0]                     # walk starts at position 0
+
+    # phase B: one walk with the true entry state, emitting kept tokens
+    def stepB(p, t):
+        at = (p == t) & take2[:, t]
+        p2 = jnp.where(p == t, jnp.where(take2[:, t],
+                                         t + ml2[:, t], t + 1), p)
+        return p2, at
+    _, keptT = jax.lax.scan(stepB, entry,
+                            jnp.arange(W, dtype=jnp.int32), unroll=16)
+    kept = keptT.T.reshape(-1)             # (n,) bool
+
+    # ---- sort #3: compact tokens (stable: position order preserved);
+    # pos < 2^26 and mlen-4 in [0,4] pack into one i32 ----
+    pos = jax.lax.iota(jnp.int32, n)
+    _, pk, dist_c = jax.lax.sort(
+        ((~kept).astype(jnp.int32), (pos << 3) | (mlen - 4), dist),
+        num_keys=1, is_stable=True)
+    n_tok = jnp.sum(kept.astype(jnp.int32))
+    return pk >> 3, (pk & 7) + 4, dist_c, n_tok
+
+
+def _analyze(glob, src_end, mm: int, nrows: int):
+    mlen, dist = _match_stage(glob, src_end, mm, nrows)
+    return _parse_stage(mlen, dist, mm)
+
+
+@functools.lru_cache(maxsize=None)
+def _analyze_jit(mm: int, nrows: int):
+    import jax
+    return jax.jit(functools.partial(_analyze, mm=mm, nrows=nrows))
+
+
+@functools.lru_cache(maxsize=None)
+def _match_jit(mm: int, nrows: int):
+    import jax
+    return jax.jit(functools.partial(_match_stage, mm=mm, nrows=nrows))
+
+
+def _extend_tokens_host(src: np.ndarray, p: np.ndarray, l: np.ndarray,
+                        d: np.ndarray, src_end: int):
+    """Byte-exact vectorized host extension of device-capped matches, in
+    16-byte rounds.  A token may only extend into the literal gap before
+    the next token (never into the next token's coverage)."""
+    if p.size == 0:
+        return l
+    nxt = np.empty_like(p)
+    nxt[:-1] = p[1:]
+    nxt[-1] = src_end
+    room = np.minimum(nxt, src_end) - (p + l)
+    grow = l == MAX_MLEN
+    while True:
+        sel = np.flatnonzero(grow & (room > 0))
+        if sel.size == 0:
+            break
+        step = np.minimum(room[sel], 16).astype(np.int64)
+        # ragged compare of src[p+l : p+l+step] vs the match source
+        total = int(step.sum())
+        tid = np.repeat(np.arange(sel.size), step)
+        intra = np.arange(total) - np.repeat(np.cumsum(step) - step, step)
+        a = src[(p[sel] + l[sel])[tid] + intra]
+        c = src[(p[sel] + l[sel] - d[sel])[tid] + intra]
+        eq = a == c
+        # per-token leading-equal count
+        neq = np.flatnonzero(~eq)
+        firsts = np.full(sel.size, -1, np.int64)
+        if neq.size:
+            tid_neq = tid[neq]
+            off_neq = intra[neq]
+            order = np.lexsort((off_neq, tid_neq))
+            t_sorted = tid_neq[order]
+            first_mask = np.empty(t_sorted.size, bool)
+            first_mask[0] = True
+            first_mask[1:] = t_sorted[1:] != t_sorted[:-1]
+            firsts[t_sorted[first_mask]] = off_neq[order][first_mask]
+        adv = np.where(firsts >= 0, firsts, step)
+        l[sel] += adv
+        room[sel] -= adv
+        grow[:] = False
+        grow[sel] = (firsts < 0) & (step == 16)
+    return l
+
+
+def lzx_forward_device_v2(src: np.ndarray, extra: bool = False,
+                          min_match: int = 4) -> np.ndarray | None:
+    """LZX forward with the sort-based match engine on the JAX device.
+
+    ``extra`` (LZ vs LZX hash width in the reference) is accepted for
+    interface parity; the content sort is exact, so there is no table to
+    size.  Returns None when the block should be skipped.
+    """
+    import jax.numpy as jnp
+
+    src = np.asarray(src, dtype=np.uint8)
+    count = src.size
+    if count < MIN_BLOCK_LENGTH:
+        return None
+    src_end = count - 16 - 2
+    mm = min_match if min_match > 0 else 4
+
+    nrows = _pad_rows(count)
+    glob = np.zeros(OV + nrows * STRIDE + ROW, dtype=np.uint8)
+    glob[OV:OV + count] = src
+    pos_c, mlen_c, dist_c, n_tok = _analyze_jit(mm, nrows)(
+        jnp.asarray(glob), jnp.int32(src_end))
+    k = int(n_tok)
+    if k == 0:
+        return None  # all-literal: LZ cannot gain
+    kpad = min(1 << max(k - 1, 1).bit_length(), pos_c.shape[0])
+    p = np.asarray(pos_c[:kpad])[:k].astype(np.int64)
+    l = np.asarray(mlen_c[:kpad])[:k].astype(np.int64)
+    d = np.asarray(dist_c[:kpad])[:k].astype(np.int64)
+    l = _extend_tokens_host(src, p, l, d, src_end)
+    return _emit(src, count, mm, MAX_DISTANCE1, p, l, d)

@@ -45,13 +45,22 @@ class LZXCodec:
             elif dt == DataType.SMALL_ALPHABET:
                 raise TransformSkip("LZX: small alphabet")
         import os
-        if os.environ.get("KANZI_TPU_DEVICE_LZ", "0") == "1" and count >= 4096:
-            # device parse (ops/lz_tpu): sort-ladder match finding + scan
-            # parse on the JAX device; typically 6-10% smaller output than
-            # the serial hash-chain parse (see tests/test_lz_tpu.py), slower
-            # on this host's tunneled chip — opt-in.
-            from ..ops.lz_tpu import lzx_forward_device
-            res = lzx_forward_device(src, self.extra, min_match)
+        gate = os.environ.get("KANZI_TPU_DEVICE_LZ", "0")
+        if gate != "0" and count >= 4096:
+            # device parse on the JAX device; opt-in (the dev box tunnel
+            # moves bulk data at ~10 MB/s device->host, so the host C++
+            # path wins end-to-end there; on directly-attached TPUs the
+            # device path is the fast one).
+            if gate == "legacy":
+                # v1: sort-ladder + pointer-doubling (ops/lz_tpu)
+                from ..ops.lz_tpu import lzx_forward_device
+                res = lzx_forward_device(src, self.extra, min_match)
+            else:
+                # v2: batched content-sort engine (ops/lz_sort): 3 sorts,
+                # no gathers, exact greedy parse; ~6x faster than v1 with
+                # the same wire format and host-parity ratios
+                from ..ops.lz_sort import lzx_forward_device_v2
+                res = lzx_forward_device_v2(src, self.extra, min_match)
             if res is None:
                 raise TransformSkip("LZX: no gain")
             return res

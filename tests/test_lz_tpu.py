@@ -91,3 +91,71 @@ def test_codec_env_gate_round_trip(monkeypatch):
     c = LZXCodec()
     enc = c.forward(data)
     assert np.array_equal(np.asarray(c.inverse(enc, data.size)), data)
+
+
+# ---------------------------------------------------------------------------
+# v2 engine (ops/lz_sort): batched content-sort matcher + parallel greedy
+# ---------------------------------------------------------------------------
+
+from kanzi_tpu.ops.lz_sort import lzx_forward_device_v2  # noqa: E402
+
+
+@pytest.mark.parametrize("case", ["text", "zeros", "period7", "mixed",
+                                  "periodic_1m", "zero_prefix"])
+def test_v2_round_trip(case):
+    rng = np.random.default_rng(7)
+    if case == "text":
+        data = _text(200_000)
+    elif case == "zeros":
+        data = np.zeros(77_777, np.uint8)
+    elif case == "period7":
+        data = np.tile(np.arange(7, dtype=np.uint8), 11_111)
+    elif case == "mixed":
+        data = np.concatenate([
+            np.zeros(5000, np.uint8),
+            rng.integers(0, 256, 5000).astype(np.uint8),
+            _text(50_000)])
+    elif case == "zero_prefix":
+        # matches must never reference the virtual zeros before the block
+        data = np.concatenate([np.zeros(3000, np.uint8), _text(30_000)])
+    else:  # long-range repeats beyond the row window
+        data = np.tile(_text(300_000), 4)
+    enc = lzx_forward_device_v2(data)
+    assert enc is not None
+    assert np.array_equal(_lzx_inverse_py(enc, data.size), data)
+    dec2 = LZXCodec().inverse(enc, data.size)
+    assert np.array_equal(np.asarray(dec2, np.uint8), data)
+
+
+def test_v2_skips_incompressible():
+    rng = np.random.default_rng(1)
+    assert lzx_forward_device_v2(
+        rng.integers(0, 256, 60_000).astype(np.uint8)) is None
+    assert lzx_forward_device_v2(np.zeros(10, np.uint8)) is None
+
+
+def test_v2_min_match6():
+    data = np.frombuffer(b"ACGTACGGTTACG" * 4000, np.uint8)
+    enc = lzx_forward_device_v2(data, min_match=6)
+    assert np.array_equal(_lzx_inverse_py(enc, data.size), data)
+
+
+def test_v2_ratio_near_native_on_mixed():
+    """Parse quality guard: within 5% of the serial hash-chain parse on a
+    realistic mixed corpus (the v2 window is 64 KiB vs native 64 KiB)."""
+    from kanzi_tpu.utils.corpus import mixed_corpus
+    data = mixed_corpus(1 << 20)
+    enc_dev = lzx_forward_device_v2(data)
+    enc_nat = LZXCodec().forward(data)
+    assert enc_dev.size <= int(enc_nat.size * 1.05)
+
+
+def test_v2_host_extension_exact():
+    """Device caps matches at 8; the host extension must recover long
+    matches byte-exactly (round-trip is the proof)."""
+    rng = np.random.default_rng(5)
+    chunk = rng.integers(0, 256, 500).astype(np.uint8)
+    data = np.concatenate([chunk, rng.integers(0, 256, 37).astype(np.uint8),
+                           chunk, chunk, _text(20_000)])
+    enc = lzx_forward_device_v2(data)
+    assert np.array_equal(_lzx_inverse_py(enc, data.size), data)
