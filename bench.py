@@ -1,16 +1,22 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Headline (round 1): chunk-parallel rANS (ANS0, wire format v7) entropy
-encode throughput on one TPU chip — the stage-2 compute kernel of the
-level-5 pipeline, via the Pallas kernels in ops/ans_pallas.py (dynamic-
-gather table lookup, single-launch 4096-step state scan, MXU stable-
-partition payload compaction), measured on a 896 MiB device-resident
-batch (one jit call; includes the tunnel's ~23 ms dispatch round-trip).
+Headline (round 2): the level-1 block pipeline (LZX transform + NONE
+entropy + block payload assembly — BlockCompressor.java:539 row 1) on one
+TPU chip over a realistic MIXED corpus (kanzi_tpu.utils.corpus: text/xml/
+exe/dna/numeric/random, nothing repeated), measured end-to-end from host
+bytes in: host->device upload, the batched device match/parse engine
+(ops/lz_sort: 3 sorts + windowed-scan greedy, all blocks in ONE dispatch),
+token fetch, vectorized host emission, and payload framing.
 
-vs_baseline compares against the closest published reference number that
-exercises its ANS stage: kanzi -l5 end-to-end encode on silesia
-(0.123 GB/s single CPU, BASELINE.md).  Secondary numbers (CPU end-to-end
-levels) go to stderr.
+vs_baseline compares against the reference's own end-to-end silesia -l1
+encode rate (0.416 GB/s on a 16-core Ryzen 9950X, BASELINE.md) — the same
+level, both end-to-end.
+
+Secondary numbers on stderr: the device-resident pipeline rate (input
+already in HBM — the multi-chip/ICI production model), the raw tunnel d2h
+bandwidth of this dev box (~10 MB/s, which taxes the e2e number in a way
+directly-attached TPUs do not), the ANS0 entropy-stage kernel rate
+(round-1 headline), and host CPU end-to-end rates per level.
 """
 
 from __future__ import annotations
@@ -21,31 +27,69 @@ import time
 
 import numpy as np
 
-BASELINE_L5_ENC_GBPS = 0.123  # silesia -l5 encode, AMD 9950X (BASELINE.md)
-BASELINE_L1_ENC_GBPS = 0.416
+BASELINE = {1: 0.416, 3: 0.237, 5: 0.123}  # silesia e2e enc GB/s, BASELINE.md
+CORPUS_MB = 64
+BLOCK = 4 << 20
 
 
 def _corpus(size: int) -> np.ndarray:
-    """Deterministic text-heavy corpus built from the repo's own sources."""
-    import glob
-    parts = []
-    for pat in ("kanzi_tpu/**/*.py", "native/*.cpp", "*.md"):
-        for f in sorted(glob.glob(pat, recursive=True)):
-            with open(f, "rb") as fh:
-                parts.append(fh.read())
-    base = b"".join(parts)
-    reps = size // len(base) + 1
-    return np.frombuffer((base * reps)[:size], dtype=np.uint8)
+    from kanzi_tpu.utils.corpus import mixed_corpus
+    return mixed_corpus(size)
 
 
-def bench_tpu_ans0(data: np.ndarray, iters: int = 5) -> float:
+def bench_l1_tpu(data: np.ndarray):
+    """Full l1 encode: blocks -> device LZX batch -> framed payload bytes.
+    Returns (e2e GB/s, device-pipeline GB/s, ratio)."""
     import jax.numpy as jnp
+
+    from kanzi_tpu.core.bits import BitWriter
+    from kanzi_tpu.ops import lz_sort as L
+
+    blocks = [data[i:i + BLOCK] for i in range(0, data.size, BLOCK)]
+
+    def run():
+        res = L.lzx_forward_device_batch(blocks)
+        bw = BitWriter()
+        total = 0
+        for b, r in zip(blocks, res):
+            payload = r if r is not None else b  # copy-block fallback
+            bw.write_bits(len(payload), 32)
+            bw.write_bytes(payload.tobytes() if hasattr(payload, "tobytes")
+                           else bytes(payload))
+            total += len(payload)
+        return bw.getvalue()
+
+    blob = run()  # warm (compile via persistent cache)
+    t0 = time.perf_counter()
+    blob = run()
+    e2e = data.size / (time.perf_counter() - t0) / 1e9
+
+    # device-resident pipeline: rows already in HBM, tokens stay on device
+    # (the production model: compressed payload is consumed device-side or
+    # streamed over ICI; this box's tunnel d2h is a dev-harness artifact)
+    parts = [L._block_rows(b) for b in blocks]
+    rows = np.concatenate([p[0] for p in parts])
+    vend = np.concatenate([p[1] for p in parts])
+    isf = np.concatenate([p[2] for p in parts])
+    rd, vd, fd = jnp.asarray(rows), jnp.asarray(vend), jnp.asarray(isf)
+    _ = int(rd[0, 0])
+    fn = L._analyze_jit(4)
+    out = fn(rd, vd, fd)
+    _ = int(out[3])
+    t0 = time.perf_counter()
+    out = fn(rd, vd, fd)
+    _ = int(out[3])
+    dev = data.size / (time.perf_counter() - t0) / 1e9
+    return e2e, dev, len(blob) / data.size
+
+
+def bench_tpu_ans0(data: np.ndarray, iters: int = 3) -> float:
+    import jax.numpy as jnp
+
     from kanzi_tpu.ops.ans_pallas import CHUNK, ans0_encode_device
 
     n = data.size // CHUNK
     dch = jnp.asarray(data[:n * CHUNK].reshape(n, CHUNK))
-    # compile (the axon tunnel's block_until_ready does not sync; force a
-    # small device->host fetch instead)
     out = ans0_encode_device(dch)
     _ = np.asarray(out[2][:2])
     best = float("inf")
@@ -58,7 +102,7 @@ def bench_tpu_ans0(data: np.ndarray, iters: int = 5) -> float:
 
 
 def bench_cpu_level(data: np.ndarray, level: int, jobs: int = 0,
-                    iters: int = 3) -> tuple[float, float]:
+                    iters: int = 2) -> tuple[float, float]:
     import os
 
     from kanzi_tpu.app.block_compressor import LEVELS, BlockCompressor
@@ -66,7 +110,7 @@ def bench_cpu_level(data: np.ndarray, level: int, jobs: int = 0,
     jobs = jobs or (os.cpu_count() or 2)
     bc = BlockCompressor(transform=t, entropy=e, block_size=b, jobs=jobs)
     raw = data.tobytes()
-    blob = bc.compress_bytes(raw)  # warmup (native lib load, pool spinup)
+    blob = bc.compress_bytes(raw)  # warmup
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -75,28 +119,53 @@ def bench_cpu_level(data: np.ndarray, level: int, jobs: int = 0,
     return data.size / best / 1e9, len(blob) / data.size
 
 
+def tunnel_d2h_rate() -> float:
+    import jax
+    import jax.numpy as jnp
+    d = jnp.asarray(np.zeros(4 << 20, np.uint8))
+    _ = np.asarray(d[:64])
+    t0 = time.perf_counter()
+    _ = np.asarray(d)
+    return d.size / (time.perf_counter() - t0) / 1e9
+
+
 def main() -> None:
-    size = 896 * 1024 * 1024
-    data = _corpus(size)
-    # CPU secondary first: the TPU client's runtime threads would otherwise
-    # steal cores from the thread-pooled block engine.
+    data = _corpus(CORPUS_MB << 20)
+    err = sys.stderr
+    # CPU secondary first (TPU client threads would steal the pool's cores)
     try:
-        l1, r1 = bench_cpu_level(data[:32 * 1024 * 1024], 1)
-        print(f"secondary: l1 cpu encode {l1:.3f} GB/s ratio {r1:.3f} "
-              f"(ref 0.416 GB/s)", file=sys.stderr)
-    except Exception as e:
-        print(f"secondary bench failed: {e}", file=sys.stderr)
+        l1c, r1c = bench_cpu_level(data[:32 << 20], 1)
+        print(f"secondary: l1 cpu e2e {l1c:.3f} GB/s ratio {r1c:.3f} "
+              f"(ref e2e {BASELINE[1]} GB/s)", file=err)
+    except Exception as e:  # pragma: no cover
+        print(f"secondary cpu bench failed: {e}", file=err)
     try:
-        gbps = bench_tpu_ans0(data)
-        metric = "ans0_entropy_encode_tpu_1chip"
-        base = BASELINE_L5_ENC_GBPS
+        e2e, dev, ratio = bench_l1_tpu(data)
+        d2h = tunnel_d2h_rate()
+        print(f"secondary: l1 tpu e2e-incl-tunnel {e2e:.3f} GB/s | "
+              f"device-pipeline {dev:.3f} GB/s | ratio {ratio:.3f} | "
+              f"dev-box tunnel d2h {d2h*1000:.0f} MB/s", file=err)
+        try:
+            ans0 = bench_tpu_ans0(data[:256 << 20])
+            print(f"secondary: ans0 entropy-stage kernel {ans0:.2f} GB/s "
+                  f"(r1 headline)", file=err)
+        except Exception as e:
+            print(f"secondary ans0 bench failed: {e}", file=err)
+        print(json.dumps({
+            "metric": "l1_encode_tpu_e2e",
+            "value": round(e2e, 4), "unit": "GB/s",
+            "vs_baseline": round(e2e / BASELINE[1], 3),
+            "ratio": round(ratio, 4),
+            "device_pipeline_gbps": round(dev, 3),
+            "note": ("end-to-end incl. this dev box's ~10MB/s tunnel d2h; "
+                     "device_pipeline_gbps is the HBM-resident rate")}))
     except Exception as e:
-        print(f"TPU bench failed ({e}); falling back to CPU -l1", file=sys.stderr)
-        gbps, ratio = bench_cpu_level(data[:16 * 1024 * 1024], 1)
-        metric = "l1_encode_cpu"
-        base = BASELINE_L1_ENC_GBPS
-    print(json.dumps({"metric": metric, "value": round(gbps, 4),
-                      "unit": "GB/s", "vs_baseline": round(gbps / base, 3)}))
+        print(f"TPU bench failed ({e}); falling back to CPU -l1", file=err)
+        gbps, ratio = bench_cpu_level(data[:16 << 20], 1)
+        print(json.dumps({"metric": "l1_encode_cpu_e2e",
+                          "value": round(gbps, 4), "unit": "GB/s",
+                          "vs_baseline": round(gbps / BASELINE[1], 3),
+                          "ratio": round(ratio, 4)}))
 
 
 if __name__ == "__main__":

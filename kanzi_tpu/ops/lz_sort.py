@@ -52,21 +52,17 @@ EDGE = 16                     # no claims this close to a row end (padding)
 _SIGN = np.int32(-0x80000000)  # two's-complement sign flip: u32 sort order
 
 
-def _pad_rows(count: int) -> int:
-    """Bucket the row count to bound distinct compiled shapes (multiples of
-    4: sort time scales with padded rows; a 4 MiB block needs 22 rows)."""
-    b = -(-count // STRIDE)
-    return max(-(-b // 4) * 4, 4)
-
-
-def _match_stage(glob, src_end, mm: int, nrows: int):
-    """Match finding: returns flat position-order (mlen, dist) arrays."""
+def _match_stage(rows, vend, isfirst, mm: int):
+    """Match finding over a batch of independent rows (possibly spanning
+    several blocks).  rows (B, ROW) uint8; vend (B,) i32 = number of valid
+    token positions in the row's token region (clips match ends at the
+    block's src_end); isfirst (B,) bool = the row's left context is zero
+    padding (block start), so candidates must not reach into it.
+    Returns flat position-order (mlen, dist) arrays of size B*STRIDE."""
     import jax
     import jax.numpy as jnp
 
-    rows = jnp.stack([jax.lax.slice(glob, (g * STRIDE,),
-                                    (g * STRIDE + ROW,))
-                      for g in range(nrows)])
+    nrows = rows.shape[0]
     b = rows.astype(jnp.int32)
 
     def byte_at(k):  # b shifted left by k along the row, zero-filled
@@ -88,9 +84,9 @@ def _match_stage(glob, src_end, mm: int, nrows: int):
             [jnp.zeros((nrows, r), x.dtype), x[:, :-r]], axis=1)
 
     pos_ok = (sidx <= ROW - EDGE)
-    # row 0's left context is zero padding, not block bytes: candidates
+    # a block's first row has zero padding as left context: candidates
     # there would reference data before the block start (wire-invalid)
-    row0 = jax.lax.broadcasted_iota(jnp.int32, (nrows, ROW), 0) == 0
+    first = isfirst[:, None]
     cand = jnp.zeros((nrows, ROW), jnp.int32)
     mlen = jnp.zeros((nrows, ROW), jnp.int32)
     # a predecessor equal in both keys shares >= 8 bytes; equal in k0 only
@@ -99,7 +95,7 @@ def _match_stage(glob, src_end, mm: int, nrows: int):
         eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the filled prefix
         eq = eq0 & (k1 == rolled(k1, r))
         c = rolled(sidx, r)
-        base = eq0 & pos_ok & (~row0 | (c >= OV)) \
+        base = eq0 & pos_ok & (~first | (c >= OV)) \
             & (sidx - c > 0) & (sidx - c <= MAX_DISTANCE1)
         x4 = (k1 ^ rolled(k1, r)).astype(jnp.uint32)
         l4 = 4 + ((x4 < (1 << 24)).astype(jnp.int32)
@@ -119,14 +115,13 @@ def _match_stage(glob, src_end, mm: int, nrows: int):
     mlen_p = jnp.where(has, (pk & 7) + 4, 0)
     dist_p = idx - cand_p
 
-    # token region of row g = local [OV, ROW) = global [g*STRIDE,(g+1)*STRIDE)
-    dist = dist_p[:, OV:].reshape(-1)
-    mlen = mlen_p[:, OV:].reshape(-1)
-    n = nrows * STRIDE
-    pos = jax.lax.iota(jnp.int32, n)
-    mlen = jnp.minimum(mlen, jnp.maximum(src_end - pos, 0))
-    mlen = jnp.where(mlen >= max(mm, 4), mlen, 0)
-    return mlen, dist
+    # token region of row g = local [OV, ROW); clip match ends at the
+    # row's valid-position budget (block src_end)
+    loc = jax.lax.broadcasted_iota(jnp.int32, (nrows, STRIDE), 1)
+    mlen2 = jnp.minimum(mlen_p[:, OV:],
+                        jnp.maximum(vend[:, None] - loc, 0))
+    mlen2 = jnp.where(mlen2 >= max(mm, 4), mlen2, 0)
+    return mlen2.reshape(-1), dist_p[:, OV:].reshape(-1)
 
 
 def _parse_stage(mlen, dist, mm: int):
@@ -204,21 +199,21 @@ def _parse_stage(mlen, dist, mm: int):
     return pk >> 3, (pk & 7) + 4, dist_c, n_tok
 
 
-def _analyze(glob, src_end, mm: int, nrows: int):
-    mlen, dist = _match_stage(glob, src_end, mm, nrows)
+def _analyze(rows, vend, isfirst, mm: int):
+    mlen, dist = _match_stage(rows, vend, isfirst, mm)
     return _parse_stage(mlen, dist, mm)
 
 
 @functools.lru_cache(maxsize=None)
-def _analyze_jit(mm: int, nrows: int):
+def _analyze_jit(mm: int):
     import jax
-    return jax.jit(functools.partial(_analyze, mm=mm, nrows=nrows))
+    return jax.jit(functools.partial(_analyze, mm=mm))
 
 
 @functools.lru_cache(maxsize=None)
-def _match_jit(mm: int, nrows: int):
+def _match_jit(mm: int):
     import jax
-    return jax.jit(functools.partial(_match_stage, mm=mm, nrows=nrows))
+    return jax.jit(functools.partial(_match_stage, mm=mm))
 
 
 def _extend_tokens_host(src: np.ndarray, p: np.ndarray, l: np.ndarray,
@@ -265,6 +260,104 @@ def _extend_tokens_host(src: np.ndarray, p: np.ndarray, l: np.ndarray,
     return l
 
 
+def _block_rows(src: np.ndarray):
+    """Host layout of one block: zero-left-padded buffer + overlapped row
+    view (free as_strided), per-row valid-token budgets, first-row flag."""
+    count = src.size
+    nb = -(-count // STRIDE)
+    buf = np.zeros(OV + nb * STRIDE, dtype=np.uint8)
+    buf[OV:OV + count] = src
+    rows = np.lib.stride_tricks.as_strided(
+        buf, (nb, ROW), (STRIDE, 1), writeable=False)
+    src_end = count - 16 - 2
+    vend = np.clip(src_end - STRIDE * np.arange(nb), 0, STRIDE)
+    isfirst = np.zeros(nb, bool)
+    isfirst[0] = True
+    return rows, vend.astype(np.int32), isfirst
+
+
+GROUP_ROWS = 48  # fixed dispatch shape: XLA sort compile time grows badly
+#                  with shape size, so work is fed in identical 48-row
+#                  groups (9 MiB of positions) that compile exactly once
+
+
+def _row_buckets(nb: int):
+    """Pad a row count to one of a few fixed shapes (4/12/24/48)."""
+    for b in (4, 12, 24, GROUP_ROWS):
+        if nb <= b:
+            return b
+    return GROUP_ROWS
+
+
+def lzx_forward_device_batch(blocks, extra: bool = False,
+                             min_match: int = 4):
+    """Batched LZX forward: blocks' rows go to the device in fixed-shape
+    groups (amortizes launch latency, keeps the sort pipelines full, and
+    bounds XLA sort compile time), tokens come back per group, and each
+    block is emitted independently.  Returns a list aligned with ``blocks``
+    (None = skip that block)."""
+    import jax.numpy as jnp
+
+    mm = min_match if min_match > 0 else 4
+    blocks = [np.asarray(b, dtype=np.uint8) for b in blocks]
+    parts = [(_block_rows(b) if b.size >= MIN_BLOCK_LENGTH else None)
+             for b in blocks]
+    live = [i for i, p in enumerate(parts) if p is not None]
+    out = [None] * len(blocks)
+    if not live:
+        return out
+    rows = np.concatenate([parts[i][0] for i in live])
+    vend = np.concatenate([parts[i][1] for i in live])
+    isfirst = np.concatenate([parts[i][2] for i in live])
+    nb = rows.shape[0]
+
+    # dispatch fixed-shape groups; keep results as device arrays so groups
+    # pipeline (async dispatch) before any host fetch forces a sync
+    fn = _analyze_jit(mm)
+    pend = []
+    for g0 in range(0, nb, GROUP_ROWS):
+        g1 = min(g0 + GROUP_ROWS, nb)
+        bkt = _row_buckets(g1 - g0)
+        r = rows[g0:g1]
+        v = vend[g0:g1]
+        f = isfirst[g0:g1]
+        if bkt != g1 - g0:
+            pad = bkt - (g1 - g0)
+            r = np.concatenate([r, np.zeros((pad, ROW), np.uint8)])
+            v = np.concatenate([v, np.zeros(pad, np.int32)])
+            f = np.concatenate([f, np.ones(pad, bool)])
+        pend.append((g0, fn(jnp.asarray(r), jnp.asarray(v),
+                            jnp.asarray(f))))
+
+    ps, ls, ds = [], [], []
+    for g0, (pos_c, mlen_c, dist_c, n_tok) in pend:
+        k = int(n_tok)
+        if k == 0:
+            continue
+        kpad = min(1 << max(k - 1, 1).bit_length(), pos_c.shape[0])
+        ps.append(np.asarray(pos_c[:kpad])[:k].astype(np.int64)
+                  + g0 * STRIDE)
+        ls.append(np.asarray(mlen_c[:kpad])[:k].astype(np.int64))
+        ds.append(np.asarray(dist_c[:kpad])[:k].astype(np.int64))
+    if not ps:
+        return out
+    p = np.concatenate(ps)
+    l = np.concatenate(ls)
+    d = np.concatenate(ds)
+    base = 0
+    for i in live:
+        nrows_i = parts[i][0].shape[0]
+        span = nrows_i * STRIDE
+        lo, hi = np.searchsorted(p, [base, base + span])
+        pi, li, di = p[lo:hi] - base, l[lo:hi].copy(), d[lo:hi]
+        src = blocks[i]
+        li = _extend_tokens_host(src, pi, li, di, src.size - 18)
+        if pi.size:
+            out[i] = _emit(src, src.size, mm, MAX_DISTANCE1, pi, li, di)
+        base += span
+    return out
+
+
 def lzx_forward_device_v2(src: np.ndarray, extra: bool = False,
                           min_match: int = 4) -> np.ndarray | None:
     """LZX forward with the sort-based match engine on the JAX device.
@@ -273,26 +366,4 @@ def lzx_forward_device_v2(src: np.ndarray, extra: bool = False,
     interface parity; the content sort is exact, so there is no table to
     size.  Returns None when the block should be skipped.
     """
-    import jax.numpy as jnp
-
-    src = np.asarray(src, dtype=np.uint8)
-    count = src.size
-    if count < MIN_BLOCK_LENGTH:
-        return None
-    src_end = count - 16 - 2
-    mm = min_match if min_match > 0 else 4
-
-    nrows = _pad_rows(count)
-    glob = np.zeros(OV + nrows * STRIDE + ROW, dtype=np.uint8)
-    glob[OV:OV + count] = src
-    pos_c, mlen_c, dist_c, n_tok = _analyze_jit(mm, nrows)(
-        jnp.asarray(glob), jnp.int32(src_end))
-    k = int(n_tok)
-    if k == 0:
-        return None  # all-literal: LZ cannot gain
-    kpad = min(1 << max(k - 1, 1).bit_length(), pos_c.shape[0])
-    p = np.asarray(pos_c[:kpad])[:k].astype(np.int64)
-    l = np.asarray(mlen_c[:kpad])[:k].astype(np.int64)
-    d = np.asarray(dist_c[:kpad])[:k].astype(np.int64)
-    l = _extend_tokens_host(src, p, l, d, src_end)
-    return _emit(src, count, mm, MAX_DISTANCE1, p, l, d)
+    return lzx_forward_device_batch([src], extra, min_match)[0]

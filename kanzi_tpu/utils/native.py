@@ -31,7 +31,7 @@ def _build() -> str | None:
     srcs = [s for s in _SRCS if os.path.exists(s)]
     if os.path.exists(_SO) and all(os.path.getmtime(_SO) >= os.path.getmtime(s) for s in srcs):
         return _SO
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
            "-o", _SO + ".tmp"] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)

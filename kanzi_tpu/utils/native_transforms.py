@@ -46,6 +46,9 @@ def _lib():
         lib.kz_bwt_forward.argtypes = [u8p, u8p, c.c_int64, i32p, c.c_int32]
         lib.kz_bwt_inverse.restype = c.c_int32
         lib.kz_bwt_inverse.argtypes = [u8p, u8p, c.c_int64, i32p, c.c_int32]
+        lib.kz_bwt_inverse_mt.restype = c.c_int32
+        lib.kz_bwt_inverse_mt.argtypes = [u8p, u8p, c.c_int64, i32p,
+                                          c.c_int32, c.c_int32]
         if hasattr(lib, "kz_text_set_dict"):
             lib.kz_text_set_dict.restype = None
             lib.kz_text_set_dict.argtypes = [u8p, c.c_int64]
@@ -90,7 +93,8 @@ def bwt_forward_native(src: np.ndarray, chunks: int):
     return dst, indexes[:chunks]
 
 
-def bwt_inverse_native(src: np.ndarray, primary_indexes, chunks: int):
+def bwt_inverse_native(src: np.ndarray, primary_indexes, chunks: int,
+                       jobs: int = 0):
     lib = _lib()
     if lib is None:
         return None
@@ -98,7 +102,11 @@ def bwt_inverse_native(src: np.ndarray, primary_indexes, chunks: int):
     dst = np.empty(src.size, dtype=np.uint8)
     indexes = np.zeros(8, dtype=np.int32)
     indexes[:len(primary_indexes)] = primary_indexes
-    ok = lib.kz_bwt_inverse(as_u8p(s), as_u8p(dst), src.size, _i32p(indexes), chunks)
+    if jobs <= 0:
+        import os
+        jobs = min(os.cpu_count() or 1, 8)
+    ok = lib.kz_bwt_inverse_mt(as_u8p(s), as_u8p(dst), src.size,
+                               _i32p(indexes), chunks, jobs)
     if not ok:
         raise ValueError("BWT inverse failed")
     return dst

@@ -13,7 +13,12 @@
 // algorithm (standard formulation, written fresh).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
 #include <vector>
 
 #if defined(_MSC_VER)
@@ -241,13 +246,166 @@ static bool bwt_inverse_impl(const u8* src, u8* dst, i64 n, const i32* indexes, 
     return true;
 }
 
-EXPORT i32 kz_bwt_inverse(const u8* src, u8* dst, i64 n, const i32* indexes, i32 chunks) {
+// Big-block inverse (n >= 2^24): 5-byte packed entries ((idx << 8) | val in
+// 40 bits — 1.6x less footprint/traffic than the u64 packing) and the 8
+// independent LF chains split across threads (the reference parallelizes its
+// big-block inversion the same way: BWT.java:568-674 InverseBiPSIv2Task).
+static inline u64 rd40(const u8* a, i64 t) {
+    u64 v;
+    std::memcpy(&v, a + t * 5, 8);          // little-endian, 3 bytes slack
+    return v & 0xFFFFFFFFFFull;
+}
+
+static bool bwt_inverse_big(const u8* src, u8* dst, i64 n,
+                            const i32* indexes, i32 chunks, i32 jobs) {
+    const i64 pIdx = indexes[0];
+    if (pIdx <= 0 || pIdx > n) return false;
+    std::vector<u8> data((size_t)n * 5 + 8);
+    u8* d = data.data();
+#if defined(__linux__)
+    // the walk is a random pointer chase over the whole table: 2 MiB pages
+    // cut the TLB miss per step (madvise-mode THP needs the hint)
+    madvise((void*)(((uintptr_t)d + 4095) & ~(uintptr_t)4095),
+            data.size() & ~(size_t)4095, MADV_HUGEPAGE);
+#endif
+    i64 b[256] = {0};
+    for (i64 i = 0; i < n; i++) b[src[i]]++;
+    i64 sum = 0;
+    for (i32 i = 0; i < 256; i++) { const i64 t = b[i]; b[i] = sum; sum += t; }
+    auto wr40 = [d](i64 j, u64 v) { std::memcpy(d + j * 5, &v, 5); };
+    const i32 val0 = src[0];
+    wr40(b[val0], ((u64)0xFF << 8) | (u64)val0);
+    b[val0]++;
+    for (i64 i = 1; i < pIdx; i++) {
+        const i32 val = src[i];
+        wr40(b[val], ((u64)(i - 1) << 8) | (u64)val);
+        b[val]++;
+    }
+    for (i64 i = pIdx; i < n; i++) {
+        const i32 val = src[i];
+        wr40(b[val], ((u64)i << 8) | (u64)val);
+        b[val]++;
+    }
+    if (jobs < 1) jobs = 1;
+    if (jobs > 8) jobs = 8;
+    // Optional bigram step table (the biPSIv2 idea, re-derived): follow the
+    // psi chain two hops at build time so the walk emits TWO bytes per
+    // dependent cache miss; the build's second hop is an independent
+    // (overlappable) read stream, unlike the walk's serial chain.  Measured
+    // on this dev VM the conversion pass costs more than it saves (the
+    // virtualized memory system saturates at ~8 outstanding misses either
+    // way), so it is opt-in for hardware with deeper memory parallelism.
+    const char* env = std::getenv("KANZI_TPU_BWT_BIGRAM");
+    const bool bigram = env && env[0] == '1';
+    std::vector<u8> data2;
+    u8* d2 = nullptr;
+    if (bigram) {
+        data2.resize((size_t)n * 6 + 8);
+        d2 = data2.data();
+        auto build2 = [&](i64 lo, i64 hi) {
+            for (i64 t = lo; t < hi; t++) {
+                const u64 e = rd40(d, t);
+                const u64 e2 = rd40(d, (i64)(e >> 8));
+                const u64 v = ((e2 >> 8) << 16) | ((e2 & 0xFF) << 8)
+                    | (e & 0xFF);
+                std::memcpy(d2 + t * 6, &v, 6);
+            }
+        };
+        std::vector<std::thread> ths;
+        const i64 per = n / jobs;
+        for (i32 j = 1; j < jobs; j++)
+            ths.emplace_back(build2, per * j,
+                             (j == jobs - 1) ? n : per * (j + 1));
+        build2(0, jobs == 1 ? n : per);
+        for (auto& th : ths) th.join();
+    }
+    auto rd48 = [d2](i64 t) {
+        u64 v;
+        std::memcpy(&v, d2 + t * 6, 8);
+        return v & 0xFFFFFFFFFFFFull;
+    };
+    if (chunks != 8) {
+        i64 t = pIdx - 1;
+        if (bigram) {
+            i64 i = 0;
+            for (; i + 1 < n; i += 2) {
+                const u64 e = rd48(t);
+                dst[i] = (u8)e;
+                dst[i + 1] = (u8)(e >> 8);
+                t = (i64)(e >> 16);
+            }
+            if (i < n) dst[i] = (u8)rd48(t);
+        } else {
+            for (i64 i = 0; i < n; i++) {
+                const u64 e = rd40(d, t);
+                dst[i] = (u8)e;
+                t = (i64)(e >> 8);
+            }
+        }
+        return true;
+    }
+    const i64 ckSize = ((n & 7) == 0) ? n >> 3 : (n >> 3) + 1;
+    i64 t0[8];
+    for (i32 k = 0; k < 8; k++) {
+        t0[k] = (i64)indexes[k] - 1;
+        if (t0[k] < 0 || t0[k] >= n) return false;
+    }
+    // each worker interleaves its own chains (memory-level parallelism
+    // within a thread, thread-level parallelism across cores)
+    auto walk = [&](i32 kfirst, i32 kstep) {
+        i64 t[8], len[8];
+        i32 nc = 0;
+        for (i32 k = kfirst; k < 8; k += kstep) {
+            t[nc] = t0[k];
+            len[nc] = (k < 7) ? ckSize : n - ckSize * 7;
+            nc++;
+        }
+        const i64 mstep = bigram ? 2 : 1;
+        i64 m = 0;
+        for (bool any = true; any; m += mstep) {
+            any = false;
+            i32 c = 0;
+            for (i32 k = kfirst; k < 8; k += kstep, c++) {
+                if (m >= len[c]) continue;
+                any = true;
+                if (bigram) {
+                    const u64 e = rd48(t[c]);
+                    dst[m + ckSize * k] = (u8)e;
+                    if (m + 1 < len[c])
+                        dst[m + 1 + ckSize * k] = (u8)(e >> 8);
+                    t[c] = (i64)(e >> 16);
+                } else {
+                    const u64 e = rd40(d, t[c]);
+                    dst[m + ckSize * k] = (u8)e;
+                    t[c] = (i64)(e >> 8);
+                }
+            }
+        }
+    };
+    if (jobs == 1) {
+        walk(0, 1);
+    } else {
+        std::vector<std::thread> ths;
+        for (i32 j = 1; j < jobs; j++)
+            ths.emplace_back(walk, j, jobs);
+        walk(0, jobs);
+        for (auto& th : ths) th.join();
+    }
+    return true;
+}
+
+EXPORT i32 kz_bwt_inverse_mt(const u8* src, u8* dst, i64 n,
+                             const i32* indexes, i32 chunks, i32 jobs) {
     if (n == 0) return 1;
     if (n == 1) { dst[0] = src[0]; return 1; }
     bool ok;
     if (n < (1 << 24))
         ok = bwt_inverse_impl<u32>(src, dst, n, indexes, chunks);
     else
-        ok = bwt_inverse_impl<u64>(src, dst, n, indexes, chunks);
+        ok = bwt_inverse_big(src, dst, n, indexes, chunks, jobs);
     return ok ? 1 : 0;
+}
+
+EXPORT i32 kz_bwt_inverse(const u8* src, u8* dst, i64 n, const i32* indexes, i32 chunks) {
+    return kz_bwt_inverse_mt(src, dst, n, indexes, chunks, 1);
 }
