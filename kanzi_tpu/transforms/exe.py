@@ -47,8 +47,111 @@ class EXECodec:
             return _inverse_v2(src)
         res = nt.exe_inverse_native(src, count)
         if res is None:
-            raise NotImplementedError("EXE inverse requires the native library")
+            res = _exe_inverse_py(src, count)  # pure-Python spec fallback
         return res
+
+
+def _i32(x: int) -> int:
+    return ((x + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+
+def _exe_inverse_py(src: np.ndarray, count_hint: int | None) -> np.ndarray:
+    """Pure-Python mirror of native/exe.cpp kz_exe_inverse (v3+ layout:
+    mode byte + LE32 codeStart/codeEnd header, x86 E8/JCC and ARM64
+    B/BL rel32 targets restored from the 0xF0F0F0F0-masked absolutes)."""
+    s = bytes(np.asarray(src, dtype=np.uint8).tobytes())
+    count = len(s)
+    if count < 9:
+        raise ValueError("EXE: truncated")
+    mode = s[0]
+    cap = count_hint if count_hint is not None else count + (count >> 3) + 64
+    dst = bytearray(cap)
+    code_start = int.from_bytes(s[1:5], "little")
+    code_end = int.from_bytes(s[5:9], "little")
+    si, di = 9, 0
+    if not (0 <= code_start <= cap and si <= code_end <= count
+            and code_start <= code_end - 9):
+        raise ValueError("EXE: bad header")
+    if mode == 0x40:  # X86
+        if code_start > 0:
+            dst[0:code_start] = s[9:9 + code_start]
+            si += code_start
+            di += code_start
+        while si < code_end:
+            c = s[si]
+            if c == 0x0F:  # two-byte prefix
+                if si + 1 >= code_end:
+                    dst[di] = c
+                    di += 1
+                    si += 1
+                    break
+                dst[di] = c
+                di += 1
+                si += 1
+                if (s[si] & 0xF0) != 0x80:  # not JCC
+                    if s[si] == 0x9B:  # escape
+                        si += 1
+                        if si >= code_end:
+                            raise ValueError("EXE: truncated")
+                    dst[di] = s[si]
+                    di += 1
+                    si += 1
+                    continue
+            elif (c & 0xFE) != 0xE8:  # not CALL/JMP
+                if c == 0x9B:
+                    si += 1
+                    if si >= code_end:
+                        raise ValueError("EXE: truncated")
+                dst[di] = s[si]
+                di += 1
+                si += 1
+                continue
+            if si + 4 >= code_end or di + 5 > cap:
+                raise ValueError("EXE: truncated")
+            addr = _i32(int.from_bytes(s[si + 1:si + 5], "big")
+                        ^ 0xF0F0F0F0)
+            offset = addr - di
+            enc = offset if offset >= 0 else -((-offset) & 0x00FFFFFF)
+            dst[di] = s[si]
+            di += 1
+            si += 1
+            dst[di:di + 4] = (enc & 0xFFFFFFFF).to_bytes(4, "little")
+            si += 4
+            di += 4
+        dst[di:di + count - si] = s[si:]
+        return np.frombuffer(bytes(dst[:di + count - si]), np.uint8).copy()
+    if mode != 0x20:  # ARM64
+        raise ValueError("EXE: bad mode")
+    if code_start > 0:
+        dst[0:code_start] = s[9:9 + code_start]
+        si += code_start
+        di += code_start
+    B_ADDR = (1 << 26) - 1
+    while si < code_end:
+        if si + 4 > code_end or di + 4 > cap:
+            raise ValueError("EXE: truncated")
+        instr = _i32(int.from_bytes(s[si:si + 4], "little"))
+        op1 = _i32(instr & ~B_ADDR)
+        if op1 not in (0x14000000, _i32(0x94000000)):  # B / BL
+            dst[di:di + 4] = s[si:si + 4]
+            si += 4
+            di += 4
+            continue
+        addr = (instr & B_ADDR) << 2
+        offset = _i32(addr - di) >> 2
+        val = _i32(op1 | (offset & B_ADDR))
+        if addr == 0:
+            if si + 8 > code_end:
+                raise ValueError("EXE: truncated")
+            dst[di:di + 4] = s[si + 4:si + 8]
+            si += 8
+            di += 4
+            continue
+        dst[di:di + 4] = (val & 0xFFFFFFFF).to_bytes(4, "little")
+        si += 4
+        di += 4
+    dst[di:di + count - si] = s[si:]
+    return np.frombuffer(bytes(dst[:di + count - si]), np.uint8).copy()
 
 
 def _inverse_v2(src: np.ndarray) -> np.ndarray:

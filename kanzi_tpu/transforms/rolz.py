@@ -185,15 +185,20 @@ class ROLZCodec:
         elif self.bs_version >= 3 and flags == 1:
             min_match = MIN_MATCH7  # ROLZCodec.java:1328
         sz_block = int.from_bytes(src[0:4].tobytes(), "big")
-        out = np.zeros(sz_block + 16, dtype=np.uint8)
-        spad = np.zeros(src.size + 16, dtype=np.uint8)
-        spad[:src.size] = src
         first_lits = 2 if self.bs_version < 3 else 8
-        n = lib.kz_rolz2_inverse(as_u8p(spad), src.size, as_u8p(out), sz_block,
-                                 min_match, delta, first_lits)
-        if n < 0:
-            raise ValueError("ROLZX inverse failed")
-        res = out[:n]
+        if lib is None:
+            # pure-Python spec fallback (KANZI_TPU_NO_NATIVE=1)
+            from ._rolz_py import rolz2_inverse_py
+            res = rolz2_inverse_py(src, min_match, delta, first_lits)
+        else:
+            out = np.zeros(sz_block + 16, dtype=np.uint8)
+            spad = np.zeros(src.size + 16, dtype=np.uint8)
+            spad[:src.size] = src
+            n = lib.kz_rolz2_inverse(as_u8p(spad), src.size, as_u8p(out),
+                                     sz_block, min_match, delta, first_lits)
+            if n < 0:
+                raise ValueError("ROLZX inverse failed")
+            res = out[:n]
         if count is not None and res.size > count:
             res = res[:count]
         return res.copy()
@@ -203,8 +208,6 @@ class ROLZCodec:
         if src.size == 0:
             return src.copy()
         lib = _lib()
-        if lib is None:
-            raise NotImplementedError("ROLZ inverse requires the native library")
         if self.extra:
             return self._inverse_x(src, count, lib)
         n_in = src.size
@@ -264,11 +267,20 @@ class ROLZCodec:
                 out[start:end] = lit[:size_chunk]
                 start = end
                 continue
-            rc = lib.kz_rolz1_inverse_chunk(
-                as_u8p(out), start, end, dst_end, min_match, delta,
-                log_pos_checks, _i32p(counters), _i32p(matches),
-                as_u8p(lit), nlit, as_u8p(tk), ntk, as_u8p(lenb), nlen,
-                as_u8p(midx), nmidx, first_lit)
+            if lib is not None:
+                rc = lib.kz_rolz1_inverse_chunk(
+                    as_u8p(out), start, end, dst_end, min_match, delta,
+                    log_pos_checks, _i32p(counters), _i32p(matches),
+                    as_u8p(lit), nlit, as_u8p(tk), ntk, as_u8p(lenb), nlen,
+                    as_u8p(midx), nmidx, first_lit)
+            else:
+                # pure-Python spec fallback (KANZI_TPU_NO_NATIVE=1)
+                from ._rolz_py import rolz1_inverse_chunk_py
+                rc = rolz1_inverse_chunk_py(
+                    out, start, end, dst_end, min_match, delta,
+                    log_pos_checks, counters, matches,
+                    lit, nlit, tk, ntk, lenb, nlen, midx, nmidx,
+                    first_lit)
             if rc != 0:
                 raise ValueError(f"ROLZ: chunk decode failed ({rc})")
             start = end

@@ -65,9 +65,12 @@ class TextCodec:
         if self.bs_version >= 7:
             # pick the variant from the header bit (TextCodec.java:523-528)
             codec_type = 2 if (int(src[0]) & MASK_TEXT_CODEC) else 1
+        legacy = self.bs_version < 6 and codec_type == 2
         res = nt.text_inverse_native(src, codec_type, self.block_size,
-                                     self.extra, count,
-                                     legacy=self.bs_version < 6 and codec_type == 2)
+                                     self.extra, count, legacy=legacy)
         if res is None:
-            raise NotImplementedError("TEXT inverse requires the native library")
+            # pure-Python spec fallback (KANZI_TPU_NO_NATIVE=1)
+            from ._text_py import text_inverse_py
+            res = text_inverse_py(src, codec_type, self.block_size,
+                                  self.extra, count, legacy)
         return res

@@ -8,6 +8,7 @@ The v6/v3 fixtures are hand-assembled with the documented wire layout
 from __future__ import annotations
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -456,3 +457,51 @@ def test_rolz_v3_roundtrip():
     dec = ROLZCodec({"bsVersion": 3})
     out = dec.inverse(blob, data.size)
     assert bytes(out)[:data.size] == data.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# frozen legacy-stream anchors: the binary fixtures in tests/golden/ were
+# snapshotted from the builders above; both the builders (wire writing) and
+# the version-dispatch decoder are pinned against them, so a shared
+# misreading of the legacy layouts can no longer drift silently
+# ---------------------------------------------------------------------------
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.mark.parametrize("name,expected_version,expected_payload",
+                         [("v6", 6, b"hello legacy world" * 10)])
+def test_frozen_legacy_v6_decodes(name, expected_version, expected_payload):
+    blob = open(os.path.join(_GOLDEN, f"legacy_{name}.knz"), "rb").read()
+    cis = CompressedInputStream(io.BytesIO(blob), {"jobs": 1})
+    out = cis.read(len(expected_payload) + 16)
+    assert bytes(out) == expected_payload
+    assert cis.bs_version == expected_version
+
+
+def test_frozen_legacy_v5_decodes():
+    blob = open(os.path.join(_GOLDEN, "legacy_v5.knz"), "rb").read()
+    rng = np.random.default_rng(7)
+    payload = rng.integers(97, 105, 4000).astype(np.uint8)
+    cis = CompressedInputStream(io.BytesIO(blob), {"jobs": 1})
+    assert bytes(cis.read(payload.size + 16)) == payload.tobytes()
+    assert cis.bs_version == 5
+
+
+def test_frozen_legacy_v3_decodes():
+    blob = open(os.path.join(_GOLDEN, "legacy_v3.knz"), "rb").read()
+    rng = np.random.default_rng(11)
+    payload = rng.integers(0, 7, 3000).astype(np.uint8)
+    cis = CompressedInputStream(io.BytesIO(blob), {"jobs": 1})
+    assert bytes(cis.read(payload.size + 16)) == payload.tobytes()
+    assert cis.bs_version == 3
+
+
+def test_frozen_builders_unchanged():
+    """The in-test wire builders still produce exactly the frozen bytes."""
+    bw = BitWriter()
+    _v6_header(bw)
+    _block(bw, b"hello legacy world" * 10)
+    _eos(bw)
+    frozen = open(os.path.join(_GOLDEN, "legacy_v6.knz"), "rb").read()
+    assert bw.getvalue() == frozen
