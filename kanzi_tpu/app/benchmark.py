@@ -69,13 +69,88 @@ def run_block_size_sweep(data: bytes, transform: str = "LZX",
     return results
 
 
+# the combinatorial sweep universe (Benchmark.java:38-484 equivalent):
+# every 1..depth-deep transform chain crossed with every entropy codec
+SWEEP_TRANSFORMS = ["NONE", "LZ", "LZX", "LZP", "ROLZ", "ROLZX", "BWT",
+                    "BWTS", "RLT", "ZRLT", "MTFT", "RANK", "SRT", "TEXT",
+                    "UTF", "EXE", "PACK", "DNA", "MM"]
+SWEEP_ENTROPIES = ["NONE", "HUFFMAN", "ANS0", "ANS1", "RANGE", "FPAQ",
+                   "CM", "TPAQ"]
+
+
+def _chains(depth: int):
+    """All 1..depth transform chains (no immediate repeats, like the
+    reference sweep's combination generator)."""
+    import itertools
+    for d in range(1, depth + 1):
+        for combo in itertools.product(SWEEP_TRANSFORMS, repeat=d):
+            if any(combo[i] == combo[i + 1] for i in range(d - 1)):
+                continue
+            yield "+".join(combo)
+
+
+def run_sweep(data: bytes, depth: int = 1, entropies=None, jobs: int = 4,
+              workers: int = 0, block_size: int = 4 << 20,
+              quiet: bool = False) -> list[Result]:
+    """Full combinatorial sweep: every 1..depth transform chain x every
+    entropy codec, executed in parallel on a thread pool, with a ranked
+    analysis of the best configs by size / encode speed / decode speed."""
+    import concurrent.futures as cf
+    import os
+
+    entropies = entropies or SWEEP_ENTROPIES
+    combos = [(t, e) for t in _chains(depth) for e in entropies]
+    workers = workers or min(os.cpu_count() or 2, 8)
+    results: list[Result] = []
+
+    def one(te):
+        t, e = te
+        try:
+            return run_config(data, t, e, block_size, jobs=1)
+        except Exception as ex:  # a skip/decline is a valid outcome
+            r = Result(f"{t}+{e}", len(data), len(data), 0.0, 0.0)
+            r.config += f" [skipped: {type(ex).__name__}]"
+            return r
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        for r in pool.map(one, combos):
+            results.append(r)
+            if not quiet:
+                print(r, flush=True)
+    analyze(results)
+    return results
+
+
+def analyze(results: list[Result], top: int = 10) -> None:
+    """Result analysis: rank by compressed size, encode and decode speed."""
+    live = [r for r in results if r.enc_mbps > 0]
+    if not live:
+        print("no successful configs")
+        return
+    print(f"\n--- best ratio (top {top}) ---")
+    for r in sorted(live, key=lambda r: r.out_size)[:top]:
+        print(r)
+    print(f"--- fastest encode (top {top}) ---")
+    for r in sorted(live, key=lambda r: -r.enc_mbps)[:top]:
+        print(r)
+    print(f"--- fastest decode (top {top}) ---")
+    for r in sorted(live, key=lambda r: -r.dec_mbps)[:top]:
+        print(r)
+
+
 def main(argv=None) -> int:
     args = argv if argv is not None else sys.argv[1:]
     if not args:
-        print("usage: python -m kanzi_tpu.app.benchmark <file> [levels...]",
-              file=sys.stderr)
+        print("usage: python -m kanzi_tpu.app.benchmark <file> "
+              "[levels...|--sweep[=depth]]", file=sys.stderr)
         return 1
     data = open(args[0], "rb").read()
+    sweep = [a for a in args[1:] if a.startswith("--sweep")]
+    if sweep:
+        depth = int(sweep[0].split("=")[1]) if "=" in sweep[0] else 1
+        print(f"Sweeping {args[0]} ({len(data)} bytes), chains to depth {depth}")
+        run_sweep(data, depth)
+        return 0
     levels = [int(x) for x in args[1:]] or None
     print(f"Benchmarking {args[0]} ({len(data)} bytes)")
     run_levels(data, levels)
