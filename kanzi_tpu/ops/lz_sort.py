@@ -276,14 +276,14 @@ def _block_rows(src: np.ndarray):
     return rows, vend.astype(np.int32), isfirst
 
 
-GROUP_ROWS = 48  # fixed dispatch shape: XLA sort compile time grows badly
+GROUP_ROWS = 24  # fixed dispatch shape: XLA sort compile time grows badly
 #                  with shape size, so work is fed in identical 48-row
-#                  groups (9 MiB of positions) that compile exactly once
+#                  groups (4.5 MiB of positions) that compile exactly once
 
 
 def _row_buckets(nb: int):
     """Pad a row count to one of a few fixed shapes (4/12/24/48)."""
-    for b in (4, 12, 24, GROUP_ROWS):
+    for b in (4, 12, GROUP_ROWS):
         if nb <= b:
             return b
     return GROUP_ROWS

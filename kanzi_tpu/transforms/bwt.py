@@ -99,6 +99,21 @@ class BWT:
             self.primary_indexes[0] = 1
             return src.copy()
         chunks = get_bwt_chunks(n)
+        import os
+        if os.environ.get("KANZI_TPU_DEVICE_BWT", "0") == "1" and n >= 65536:
+            try:
+                import jax
+                use_dev = (jax.default_backend() == "tpu"
+                           or os.environ.get("KANZI_TPU_PALLAS_INTERPRET")
+                           == "1")
+            except Exception:
+                use_dev = False
+            if use_dev:
+                # prefix-doubling SA on the chip (ops/bwt_tpu); any correct
+                # SA yields the identical BWT, so the wire is unchanged
+                from ..ops.bwt_tpu import suffix_array_device
+                sa = suffix_array_device(src).astype(np.int64)
+                return self._assemble_forward(src, sa, chunks)
         res = nt.bwt_forward_native(src, chunks)
         if res is not None:
             dst, indexes = res
@@ -106,6 +121,11 @@ class BWT:
             return dst
         # numpy fallback
         sa = suffix_array(src).astype(np.int64)
+        return self._assemble_forward(src, sa, chunks)
+
+    def _assemble_forward(self, src: np.ndarray, sa: np.ndarray,
+                          chunks: int) -> np.ndarray:
+        n = src.size
         st = n // chunks
         step = st + 1 if st * chunks != n else st
         ranks = np.empty(n, dtype=np.int64)
