@@ -39,13 +39,40 @@ def _bucket(n: int) -> int:
     return p
 
 
+_SIGN = np.int32(-0x80000000)
+
+
 @functools.lru_cache(maxsize=None)
 def _sa_jit(npad: int):
     import jax
     import jax.numpy as jnp
 
-    def run(rank0):
+    def run(glob, n):
         iota = jax.lax.iota(jnp.int32, npad)
+        real = iota < n
+
+        # seed: dense ranks of the exact 8-byte windows (one sort pays for
+        # three doubling rounds); pads then get UNIQUE sub-real ranks so the
+        # convergence check can actually fire (equal all-zero pad suffixes
+        # would otherwise stay tied until k >= npad)
+        b = glob.astype(jnp.int32)
+
+        def sh(x, k):
+            return jnp.concatenate([x[k:], jnp.zeros(k, jnp.int32)])
+
+        w0 = (b << 24) | (sh(b, 1) << 16) | (sh(b, 2) << 8) | sh(b, 3)
+        w1 = sh(w0, 4)
+        r1s, r2s, sa0 = jax.lax.sort((w0 ^ _SIGN, w1 ^ _SIGN, iota),
+                                     num_keys=2, is_stable=True)
+        neq0 = (r1s != jnp.roll(r1s, 1)) | (r2s != jnp.roll(r2s, 1))
+        neq0 = neq0.at[0].set(False)
+        seed = jnp.cumsum(neq0.astype(jnp.int32))
+        _, rank = jax.lax.sort((sa0, seed), num_keys=1, is_stable=True)
+        # reals above all pads; pads mutually distinct and DESCENDING with
+        # position: a real suffix reading a pad rank at i+k stands in for
+        # "i+k past the end", and later (shorter) suffixes must compare
+        # smaller, exactly like the masked 0 for i+k past the pad buffer
+        rank = jnp.where(real, rank + npad, npad - iota)
 
         def cond(state):
             k, converged, _rank, _sa = state
@@ -53,10 +80,8 @@ def _sa_jit(npad: int):
 
         def body(state):
             k, _, rank, _ = state
-            # rank at i+k: dynamic-length static-direction shift via
-            # mask+roll (k is traced; roll handles it without a gather)
-            shifted = jnp.where(iota + k < npad,
-                                jnp.roll(rank, -k), 0)
+            # rank at i+k: dynamic shift via roll + mask (not a gather)
+            shifted = jnp.where(iota + k < npad, jnp.roll(rank, -k), 0)
             r1, r2, sa = jax.lax.sort((rank, shifted, iota),
                                       num_keys=2, is_stable=True)
             neq = (r1 != jnp.roll(r1, 1)) | (r2 != jnp.roll(r2, 1))
@@ -66,10 +91,8 @@ def _sa_jit(npad: int):
             _, rank2 = jax.lax.sort((sa, newr), num_keys=1, is_stable=True)
             return (k * 2, converged, rank2, sa)
 
-        # round 1 seeds from single-byte ranks; k starts at 1
-        state = (jnp.int32(1), jnp.bool_(False), rank0,
-                 jnp.zeros(npad, jnp.int32))
-        state = body(state)  # always at least one round (produces sa)
+        state = body((jnp.int32(8), jnp.bool_(False), rank,
+                      jnp.zeros(npad, jnp.int32)))
         _, _, _, sa = jax.lax.while_loop(cond, body, state)
         return sa
 
@@ -86,8 +109,8 @@ def suffix_array_device(src: np.ndarray) -> np.ndarray:
         return np.argsort([src[i:].tobytes() for i in range(n)]).astype(
             np.int32) if n else np.zeros(0, np.int32)
     npad = _bucket(n + 1)
-    rank0 = np.zeros(npad, np.int32)
-    rank0[:n] = src.astype(np.int32) + 1  # pad = virtual sentinels (rank 0)
-    sa = np.asarray(_sa_jit(npad)(jnp.asarray(rank0)))
+    glob = np.zeros(npad, np.uint8)
+    glob[:n] = src
+    sa = np.asarray(_sa_jit(npad)(jnp.asarray(glob), jnp.int32(n)))
     # padding positions sort first (strictly smallest ranks)
     return sa[npad - n:].astype(np.int32)
