@@ -431,10 +431,19 @@ class CompressedOutputStream:
         if not chunks:
             return
 
+        # device pre-transform: when the chain STARTS with LZ/LZX and the
+        # device gate is on, run the batched sort engine over ALL blocks in
+        # one dispatch (ops/lz_sort) and hand each block its result as a
+        # hint; LZXCodec.forward uses it only if its effective parameters
+        # match (wire behavior is identical either way)
+        lz_hints = self._device_lz_batch(chunks)
+
         def job(args):
             i, blk = args
             ctx = dict(self.ctx)
             ctx["jobs"] = 1
+            if lz_hints is not None:
+                ctx["_lz_hint"] = lz_hints[i]
             return encode_block(blk, self.transform_type, self.entropy_type,
                                 ctx, self.listeners, self._block_id + i + 1)
 
@@ -452,6 +461,28 @@ class CompressedOutputStream:
             self._bits_out(*fb.getvalue_packed())
             self._bits_out(arr, nbits)
         self._flush_bits(False)
+
+    def _device_lz_batch(self, chunks):
+        """One batched device LZX dispatch over all pending blocks, or None
+        when the gate is off / the chain does not start with LZ/LZX."""
+        import os
+        if os.environ.get("KANZI_TPU_DEVICE_LZ", "0") in ("", "0"):
+            return None
+        from ..transforms.factory import (LZ_TYPE, LZX_TYPE, MASK,
+                                          MAX_SHIFT)
+        first = (self.transform_type >> MAX_SHIFT) & MASK
+        if first not in (LZ_TYPE, LZX_TYPE):
+            return None
+        try:
+            import jax
+            if jax.default_backend() != "tpu" and \
+                    os.environ.get("KANZI_TPU_PALLAS_INTERPRET", "0") != "1":
+                return None
+            from ..ops.lz_sort import lzx_forward_device_batch
+            res = lzx_forward_device_batch(chunks, first == LZX_TYPE, 4)
+            return [(4, r) for r in res]
+        except Exception:
+            return None
 
     def close(self) -> None:
         if self._closed:

@@ -44,6 +44,14 @@ class LZXCodec:
                 min_match = 6
             elif dt == DataType.SMALL_ALPHABET:
                 raise TransformSkip("LZX: small alphabet")
+        # stream-engine batch hint: the block engine may have already run
+        # the batched device parse for this exact block (io/stream.py
+        # _device_lz_batch); honor it only when parameters agree
+        hint = (self.ctx or {}).pop("_lz_hint", None)
+        if hint is not None and hint[0] == (min_match or 4):
+            if hint[1] is None:
+                raise TransformSkip("LZX: no gain")
+            return hint[1]
         import os
         gate = os.environ.get("KANZI_TPU_DEVICE_LZ", "0")
         if gate != "0" and count >= 4096:
