@@ -351,11 +351,46 @@ def lzx_forward_device_batch(blocks, extra: bool = False,
         lo, hi = np.searchsorted(p, [base, base + span])
         pi, li, di = p[lo:hi] - base, l[lo:hi].copy(), d[lo:hi]
         src = blocks[i]
-        li = _extend_tokens_host(src, pi, li, di, src.size - 18)
         if pi.size:
-            out[i] = _emit(src, src.size, mm, MAX_DISTANCE1, pi, li, di)
+            out[i] = _emit_native(src, mm, pi, li, di)
+            if out[i] is False:  # no native library: numpy path
+                li = _extend_tokens_host(src, pi, li, di, src.size - 18)
+                out[i] = _emit(src, src.size, mm, MAX_DISTANCE1, pi, li, di)
         base += span
     return out
+
+
+def _emit_native(src: np.ndarray, mm: int, p, l, d):
+    """C++ fuse+extend+emit (native/lz.cpp kz_lzx_emit_tokens); returns
+    False when the library is unavailable, None when the block gains
+    nothing, else the stream bytes."""
+    from ..utils.native import as_u8p, get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kz_lzx_emit_tokens"):
+        return False
+    import ctypes as c
+    if not getattr(lib, "_lz_emit_sig", False):
+        i32p = c.POINTER(c.c_int32)
+        u8p = c.POINTER(c.c_uint8)
+        lib.kz_lzx_emit_tokens.restype = c.c_int64
+        lib.kz_lzx_emit_tokens.argtypes = [u8p, c.c_int64, i32p, i32p, i32p,
+                                           c.c_int64, c.c_int32, u8p]
+        lib._lz_emit_sig = True
+    spad = np.zeros(src.size + 16, np.uint8)
+    spad[:src.size] = src
+    dst = np.zeros(src.size + 64, np.uint8)
+    pi = np.ascontiguousarray(p, np.int32)
+    li = np.ascontiguousarray(l, np.int32)
+    di = np.ascontiguousarray(d, np.int32)
+
+    def _i32p(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int32))
+
+    n = lib.kz_lzx_emit_tokens(as_u8p(spad), src.size, _i32p(pi), _i32p(li),
+                               _i32p(di), pi.size, mm, as_u8p(dst))
+    if n < 0:
+        return None
+    return dst[:n].copy()
 
 
 def lzx_forward_device_v2(src: np.ndarray, extra: bool = False,

@@ -465,3 +465,101 @@ EXPORT i64 kz_lzp_inverse(const u8* src, i64 count, u8* dst, i64 dstCap) {
     }
     return (srcIdx == srcEnd) ? dstIdx : -1;
 }
+
+// Emit a full LZX v7 section stream from a device-produced token list
+// (ops/lz_sort): fuses adjacent same-distance tokens, extends device-capped
+// matches byte-exactly into the literal gap before the next token, splits
+// at 65535, and lays out the sections exactly like kz_lzx_forward.
+// pos/len/dist are ascending non-overlapping tokens.  Returns the stream
+// size or -1 when the block would not gain.
+EXPORT i64 kz_lzx_emit_tokens(const u8* src, i64 count, const i32* pos,
+                              const i32* len, const i32* dist, i64 k,
+                              i32 min_match, u8* dst) {
+    const i64 srcEnd = count - 16 - 2;
+    const i32 minMatch = (min_match > 0) ? min_match : MIN_MATCH4;
+    dst[12] = 0;  // 16-bit-distance mode (the sort engine's 64 KiB window)
+    dst[12] |= (u8)(((minMatch - 2) & 0x07) << 1);
+    // splitting can add up to count/65535 segments beyond the fused tokens
+    const i64 maxSeg = k + count / 65535 + 32;
+    std::vector<u8> tkBuf(maxSeg), mBuf(2 * maxSeg), mLenBuf(4 * maxSeg);
+    i64 dstIdx = 13, tkIdx = 0, mIdx = 0, mLenIdx = 0;
+    i64 anchor = 0;
+    i32 repd[2] = {(i32)count, (i32)count};
+    i64 t = 0;
+    while (t < k) {
+        i64 p = pos[t];
+        i64 l = len[t];
+        const i32 d = dist[t];
+        t++;
+        // fuse exactly-adjacent same-distance successors (identical decode)
+        while (t < k && pos[t] == p + l && dist[t] == d) {
+            l += len[t];
+            t++;
+        }
+        // byte-exact extension into the literal gap before the next token
+        const i64 limit = (t < k && (i64)pos[t] < srcEnd) ? pos[t] : srcEnd;
+        while (p + l < limit && src[p + l] == src[p + l - d]) l++;
+        // emit (splitting long fused matches at 65535)
+        while (l > 0) {
+            const i64 seg = l < 65535 ? l : 65535;
+            i32 token, mLenTh;
+            if (d == repd[0]) { token = 0x00; mLenTh = 3; }
+            else if (d == repd[1]) { token = 0x04; mLenTh = 3; }
+            else {
+                mBuf[mIdx] = (u8)(d >> 8);
+                const i32 inc = d >= 256 ? 1 : 0;
+                mIdx += inc;
+                mBuf[mIdx++] = (u8)d;
+                token = (inc + 1) << 3;
+                mLenTh = 7;
+            }
+            const i32 mLen = (i32)seg - minMatch;
+            if (mLen >= mLenTh) {
+                token += mLenTh;
+                mLenIdx = emit_len(mLenBuf.data(), mLenIdx, mLen - mLenTh);
+            } else {
+                token += mLen;
+            }
+            repd[1] = repd[0];
+            repd[0] = d;
+            const i64 litLen = p - anchor;
+            if (dstIdx + litLen + 16 >= count) return -1;
+            if (litLen == 0) {
+                tkBuf[tkIdx++] = (u8)token;
+            } else if (litLen >= 7) {
+                if (litLen >= (1 << 24)) return -1;
+                tkBuf[tkIdx++] = (u8)((7 << 5) | token);
+                dstIdx = emit_len(dst, dstIdx, (i32)(litLen - 7));
+                std::memcpy(dst + dstIdx, src + anchor, litLen);
+                dstIdx += litLen;
+            } else {
+                tkBuf[tkIdx++] = (u8)((litLen << 5) | token);
+                std::memcpy(dst + dstIdx, src + anchor, litLen);
+                dstIdx += litLen;
+            }
+            p += seg;
+            l -= seg;
+            anchor = p;
+        }
+    }
+    const i64 litLen = count - anchor;
+    if (dstIdx + litLen + tkIdx + mIdx + mLenIdx + 16 >= count) return -1;
+    if (litLen >= 7) {
+        tkBuf[tkIdx++] = (u8)(7 << 5);
+        dstIdx = emit_len(dst, dstIdx, (i32)(litLen - 7));
+    } else {
+        tkBuf[tkIdx++] = (u8)(litLen << 5);
+    }
+    std::memcpy(dst + dstIdx, src + anchor, litLen);
+    dstIdx += litLen;
+    write32(dst + 0, (u32)dstIdx);
+    write32(dst + 4, (u32)tkIdx);
+    write32(dst + 8, (u32)mIdx);
+    std::memcpy(dst + dstIdx, tkBuf.data(), tkIdx);
+    dstIdx += tkIdx;
+    std::memcpy(dst + dstIdx, mBuf.data(), mIdx);
+    dstIdx += mIdx;
+    std::memcpy(dst + dstIdx, mLenBuf.data(), mLenIdx);
+    dstIdx += mLenIdx;
+    return (dstIdx <= count - (count / 100)) ? dstIdx : -1;
+}
