@@ -631,26 +631,34 @@ def _compact2(vals: jax.Array, flags: jax.Array, chunks_per_cell: int = 8):
 # ---------------------------------------------------------------------------
 #
 # Decode is bit-serial per chunk (the next slot depends on the renormalized
-# state), so the kernel walks the 4096 steps sequentially with 32 chunks in
+# state), so the kernel walks the 4096 steps sequentially with 64 chunks in
 # lockstep (rows).  Per-chunk 256-entry tables live in that chunk's 128-lane
 # row (two operand halves), looked up with lane-direction dynamic_gather:
-#   * symbol: 8-step binary search over the inclusive bounds (cum+freq)
+#   * symbol rank: ONE bucket lookup.  Slot space [0,4096) is cut into 256
+#     buckets of 16 slots; bucket word = (rank at the bucket base) << 16 |
+#     presence mask (bit j = "a dense bound equals 16b+j", j=1..15; the
+#     bounds are strictly increasing so each value occurs at most once).
+#     rank(slot) = (w >> 16) + popcount(w & ((2 << (slot & 15)) - 1)),
+#     replacing the former coarse-rank + 4-probe binary search (5 gathers)
+#     with 1 gather2 + a SWAR popcount.
 #   * freq/cum: one gather into the packed (f | cum<<12) table
-# Payload bytes stream through a 512-byte tile-aligned VMEM window per
-# chunk (two 128-word tiles), refilled every 16 steps by scalar-indexed
-# row copies (a chunk consumes at most 8 bytes per step, so offset<256 +
-# 128 consumed stays inside the window).  Decoded symbols are packed
-# 4-per-word before the VMEM->HBM store, so a grid cell's output tile is
-# 1 MiB instead of 4 MiB (fits scoped VMEM with double buffering at any
-# batch size).
+# Payload bytes stream through a 1 KiB tile-aligned VMEM window per chunk
+# (four 128-word tiles), refilled every 32 steps by scalar-indexed row
+# copies (a chunk consumes at most 8 bytes per step, so offset<256 + 256
+# consumed + 8 lookahead stays inside the window).  Decoded symbols are
+# packed 4-per-word before the VMEM->HBM store, so a grid cell's output
+# tile is 1 MiB instead of 4 MiB (fits scoped VMEM with double buffering
+# at any batch size).
 
 _DEC_ROWS = 64           # chunks per grid cell
-_DEC_PAY_ROWS = 130      # 33 KiB of payload per chunk as 16-bit words
+_DEC_PAY_ROWS = 132      # 33 KiB of payload per chunk as 16-bit words
+                         # (+2 rows of speculative window slack)
 
 
-def _decode_kernel(tlo_ref, thi_ref, bnd_ref, crs_ref, st0_ref, pay_ref,
+def _decode_kernel(tlo_ref, thi_ref, blo_ref, bhi_ref, st0_ref, pay_ref,
                    out_ref, used_ref,
-                   st_scr, w0, w1, ptr_scr, sym_scr, pack_scr):
+                   st_scr, w0, w1, w2, ptr_scr, base_scr, sym_scr,
+                   pack_scr):
     rows = _DEC_ROWS
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
 
@@ -658,8 +666,8 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, crs_ref, st0_ref, pay_ref,
     ptr_scr[:] = jnp.zeros((rows, 128), jnp.int32)
     tlo = tlo_ref[:]
     thi = thi_ref[:]
-    bnd = bnd_ref[:]          # dense bounds packed two 16-bit entries per word
-    crs = crs_ref[:]          # coarse rank at each 16-slot boundary, 2/word
+    blo = blo_ref[:]          # bucket words (crs<<16 | mask), buckets 0..127
+    bhi = bhi_ref[:]          # buckets 128..255
 
     def gather2(lo, hi, idx):
         g_lo = jnp.take_along_axis(lo, jnp.bitwise_and(idx, 127), axis=1)
@@ -667,35 +675,32 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, crs_ref, st0_ref, pay_ref,
         return jnp.where(idx < 128, g_lo, g_hi)
 
     def outer(o, _):
-        # ---- refill the per-chunk payload word windows (tile-aligned).
-        # Scalar-indexed row copies; measured cheaper than a batched one-hot
-        # matmul (tiny-M batched dot_general lowers to 64 serial MXU passes).
-        base = jnp.left_shift(jnp.right_shift(ptr_scr[:], 8), 8)  # (rows,128)
-        for q in range(rows):
-            row = jnp.right_shift(base[q, 0], 8)
-            w0[q, :] = pay_ref[q, pl.ds(row, 1), :][0]
-            w1[q, :] = pay_ref[q, pl.ds(row + 1, 1), :][0]
+        # ---- refill the per-chunk payload word windows (tile-aligned),
+        # every other outer iteration.  Scalar-indexed row copies; measured
+        # cheaper than a batched one-hot matmul (tiny-M batched dot_general
+        # lowers to 64 serial MXU passes).
+        @pl.when(jnp.bitwise_and(o, 1) == 0)
+        def _():
+            base = jnp.left_shift(jnp.right_shift(ptr_scr[:], 8), 8)
+            base_scr[:] = base
+            for q in range(rows):
+                row = jnp.right_shift(base[q, 0], 8)
+                w0[q, :] = pay_ref[q, pl.ds(row, 1), :][0]
+                w1[q, :] = pay_ref[q, pl.ds(row + 1, 1), :][0]
+                w2[q, :] = pay_ref[q, pl.ds(row + 2, 1), :][0]
 
         def inner(j, _):
             st = st_scr[:]
             slot = jnp.bitwise_and(st, SCALE - 1)
-            # rank = #{r: dense_bound[r] <= slot}.  Coarse start: rank at
-            # the 16-slot boundary below (1 gather); the dense bounds are
-            # strictly increasing, so at most 15 lie in (16b, 16b+15] and
-            # 4 fine probes finish the count.
-            b = jnp.right_shift(slot, 4)
-            cw = jnp.take_along_axis(crs, jnp.right_shift(b, 1), axis=1)
-            g = jnp.bitwise_and(
-                jnp.right_shift(cw, jnp.left_shift(
-                    jnp.bitwise_and(b, 1), 4)), 0xFFFF)
-            for step in (8, 4, 2, 1):
-                probe = g + step
-                idx = jnp.minimum(probe - 1, 255)   # pad bounds read as 8191
-                w = jnp.take_along_axis(bnd, jnp.right_shift(idx, 1), axis=1)
-                pv = jnp.bitwise_and(
-                    jnp.right_shift(w, jnp.left_shift(
-                        jnp.bitwise_and(idx, 1), 4)), 0xFFFF)
-                g = jnp.where(pv <= slot, probe, g)
+            w = gather2(blo, bhi, jnp.right_shift(slot, 4))
+            v = jnp.bitwise_and(
+                w, jnp.left_shift(2, jnp.bitwise_and(slot, 15)) - 1)
+            v = v - jnp.bitwise_and(jnp.right_shift(v, 1), 0x5555)
+            v = (jnp.bitwise_and(v, 0x3333)
+                 + jnp.bitwise_and(jnp.right_shift(v, 2), 0x3333))
+            v = jnp.bitwise_and(v + jnp.right_shift(v, 4), 0x0F0F)
+            g = jnp.right_shift(w, 16) + jnp.bitwise_and(
+                v + jnp.right_shift(v, 8), 0x1F)
             lk = gather2(tlo, thi, g)
             f = jnp.bitwise_and(lk, SCALE - 1)
             cm = jnp.right_shift(lk, LOG_RANGE)
@@ -705,9 +710,15 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, crs_ref, st0_ref, pay_ref,
             e = (pltpu.roll(need, 127, 1) + pltpu.roll(need, 126, 1)
                  + pltpu.roll(need, 125, 1))
             e = jnp.where(lane < 4, e, 0)
-            # word-granular fetch: ptr counts bytes but is always even
-            local = jnp.right_shift(ptr_scr[:] - base, 1) + e
-            rd = gather2(w0[:], w1[:], local)
+            # word-granular fetch: ptr counts bytes but is always even.
+            # Each lane's word lies in one of 3 window tiles (offset < 128
+            # words at refill + 128 consumed + 3 lookahead); select the
+            # lane's tile, then one in-tile gather.
+            local = jnp.right_shift(ptr_scr[:] - base_scr[:], 1) + e
+            pair = jnp.right_shift(local, 7)                 # 0..2
+            wa = jnp.where(pair == 0, w0[:],
+                           jnp.where(pair == 1, w1[:], w2[:]))
+            rd = jnp.take_along_axis(wa, jnp.bitwise_and(local, 127), axis=1)
             st2 = jnp.where(need == 1,
                             jnp.bitwise_or(jnp.left_shift(st1, 16), rd), st1)
             st_scr[:] = st2
@@ -746,8 +757,8 @@ def _decode_kernel(tlo_ref, thi_ref, bnd_ref, crs_ref, st0_ref, pay_ref,
     used_ref[:] = ptr_scr[:]
 
 
-def _decode(tlo, thi, bnd, crs, st0, pay):
-    """All args row-padded to N % 64 == 0.  pay is (N, 130, 128) int32
+def _decode(tlo, thi, blo, bhi, st0, pay):
+    """All args row-padded to N % 64 == 0.  pay is (N, 132, 128) int32
     big-endian 16-bit words.  Returns out (N, 4096) int32 little-endian
     4-packed symbol RANKS and used (N, 128) byte counts."""
     n = tlo.shape[0]
@@ -773,11 +784,13 @@ def _decode(tlo, thi, bnd, crs, st0, pay):
             pltpu.VMEM((r, 128), jnp.int32),   # states
             pltpu.VMEM((r, 128), jnp.int32),   # window tile 0
             pltpu.VMEM((r, 128), jnp.int32),   # window tile 1
+            pltpu.VMEM((r, 128), jnp.int32),   # window tile 2
             pltpu.VMEM((r, 128), jnp.int32),   # byte pointers
+            pltpu.VMEM((r, 128), jnp.int32),   # window base bytes
             pltpu.VMEM((r, 128), jnp.int32),   # symbol accumulation tile
             pltpu.VMEM((r, 128), jnp.int32),   # packed-output tile
         ],
-    )(tlo, thi, bnd, crs, st0, pay)
+    )(tlo, thi, blo, bhi, st0, pay)
 
 
 @jax.jit
