@@ -642,10 +642,13 @@ def _compact2(vals: jax.Array, flags: jax.Array, chunks_per_cell: int = 8):
 #     replacing the former coarse-rank + 4-probe binary search (5 gathers)
 #     with 1 gather2 + a SWAR popcount.
 #   * freq/cum: one gather into the packed (f | cum<<12) table
-# Payload bytes stream through a 1 KiB tile-aligned VMEM window per chunk
-# (four 128-word tiles), refilled every 32 steps by scalar-indexed row
-# copies (a chunk consumes at most 8 bytes per step, so offset<256 + 256
-# consumed + 8 lookahead stays inside the window).  Decoded symbols are
+# Payload bytes stream through a tile-aligned VMEM window of three
+# 128-word tiles per chunk, refilled every 32 steps by scalar-indexed row
+# copies.  Tight bound: refill offset <= 127 words + <= 124 words consumed
+# before the last inner step + 3-word lookahead = max index 254, so only
+# tiles w0/w1 are ever read; w2 is deliberate slack kept for the
+# speculative refill copy (reads one tile past the live window).  Decoded
+# symbols are
 # packed 4-per-word before the VMEM->HBM store, so a grid cell's output
 # tile is 1 MiB instead of 4 MiB (fits scoped VMEM with double buffering
 # at any batch size).
@@ -821,15 +824,18 @@ def ans0_decode_chunks_pallas(payload: jax.Array, states: jax.Array,
     perm = jnp.argsort(keys, axis=1).astype(jnp.int32)       # rank -> symbol
     f_d = jnp.take_along_axis(freq_cap, perm, axis=1)
     cum_d = jnp.take_along_axis(cum, perm, axis=1)
+    f_unc = jnp.take_along_axis(freq, perm, axis=1).astype(jnp.int32)
     nsym = jnp.sum((freq > 0).astype(jnp.int32), axis=1, keepdims=True)
     rank_iota = jax.lax.broadcasted_iota(jnp.int32, freq.shape, 1)
-    bounds = jnp.where(rank_iota < nsym, cum_d + f_d, 8191).astype(jnp.int32)
+    # strictly increasing dense bounds; UNcapped freqs (matches the XLA
+    # reference ans0_decode_chunks: a single-symbol chunk has bound 4096)
+    bounds = jnp.where(rank_iota < nsym, cum_d + f_unc, 8191).astype(jnp.int32)
     tbl = jnp.bitwise_or(f_d, jnp.left_shift(cum_d, LOG_RANGE)).astype(jnp.int32)
-    bnd = jnp.bitwise_or(bounds[:, 0::2],
-                         jnp.left_shift(bounds[:, 1::2], 16)).astype(jnp.int32)
-    # coarse rank at each 16-slot boundary: crs[b] = #{r: bounds[r] <= 16b}
-    # == #{r: ceil(bounds[r]/16) <= b}  (strictly increasing dense bounds)
-    key16 = jnp.right_shift(bounds + 15, 4)                  # (N, 256) <= 512
+    # bucket words for the kernel's one-gather rank lookup (_decode_kernel
+    # header): word[b] = (#{bounds <= 16b}) << 16 | presence mask, where mask
+    # bit j (j = 1..15) marks a dense bound equal to 16b+j.  Bit 0 is never
+    # set — a bound at the bucket base is already in the base rank.
+    key16 = jnp.right_shift(bounds + 15, 4)                  # ceil/16, <= 512
     bix = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
 
     def _coarse(k16_slice):
@@ -837,10 +843,20 @@ def ans0_decode_chunks_pallas(payload: jax.Array, states: jax.Array,
                        .astype(jnp.int32), axis=2)
     crs_full = jax.lax.map(_coarse, key16.reshape(-1, 64, 256)
                            ).reshape(npad, 256)
-    crs = jnp.bitwise_or(crs_full[:, 0::2],
-                         jnp.left_shift(crs_full[:, 1::2], 16)).astype(jnp.int32)
+    b_idx = jnp.right_shift(bounds, 4)
+    j_bit = jnp.bitwise_and(bounds, 15)
+    # bounds are strictly increasing, so each (bucket, j) pair is unique and
+    # scatter-add == scatter-or; pad bounds (8191) and the final 4096 bound
+    # fall outside b < 256 and contribute nothing
+    bit = jnp.where((j_bit != 0) & (b_idx < 256),
+                    jnp.left_shift(1, j_bit), 0).astype(jnp.int32)
+    rows_ix = jnp.arange(npad, dtype=jnp.int32)[:, None]
+    mask = jnp.zeros((npad, 256), jnp.int32).at[
+        rows_ix, jnp.clip(b_idx, 0, 255)].add(bit)
+    bwords = jnp.bitwise_or(jnp.left_shift(crs_full, 16), mask)
     st0 = jnp.pad(states.astype(jnp.int32), ((0, 0), (0, 124)))
-    packed_out, used = _decode(tbl[:, :128], tbl[:, 128:], bnd, crs, st0, pay)
+    packed_out, used = _decode(tbl[:, :128], tbl[:, 128:],
+                               bwords[:, :128], bwords[:, 128:], st0, pay)
     shifts = jnp.array([0, 8, 16, 24], jnp.int32)
     ranks = jnp.bitwise_and(
         jnp.right_shift(packed_out[:, :, None], shifts[None, None, :]), 255)

@@ -101,3 +101,37 @@ def test_normalize_pallas_small():
     out = np.asarray(_normalize_freqs_pallas(
         jnp.asarray(hists, jnp.int32), 14, SCALE, rows_per_cell=32))
     assert np.array_equal(out, ref)
+
+
+def test_decode_inverts_encode_interpret():
+    """Encode (XLA scan) -> decode (_decode kernel, interpret mode) round
+    trip.  Guards the kernel <-> wrapper table-format contract (bucket
+    words), which a TPU-gated test alone cannot (see round-2 advisor)."""
+    import jax.numpy as jnp
+
+    from kanzi_tpu.ops.ans import ans0_encode_chunks
+    from kanzi_tpu.ops.ans_block import _chunk_stats
+    from kanzi_tpu.ops.ans_pallas import ans0_decode_chunks_pallas
+
+    rng = np.random.default_rng(5)
+    chunks = np.stack([
+        (rng.zipf(1.4, CHUNK) % 230).astype(np.uint8),      # skewed
+        np.clip(rng.normal(100, 2, CHUNK), 0, 255).astype(np.uint8),
+        rng.integers(0, 256, CHUNK).astype(np.uint8),       # incompressible
+        np.zeros(CHUNK, np.uint8),                          # single symbol
+    ])
+    n = chunks.shape[0]
+    freq, cum, _, _ = _chunk_stats(chunks)
+    p, ne, st = ans0_encode_chunks(
+        jnp.asarray(chunks), jnp.asarray(freq, jnp.int32),
+        jnp.asarray(cum, jnp.int32))
+    p, ne, st = np.asarray(p), np.asarray(ne), np.asarray(st)
+    maxb = ((int(ne.max()) * 2 + 130) // 128 + 2) * 128
+    pay = np.zeros((n, maxb), np.uint8)
+    for i in range(n):
+        pay[i, :ne[i] * 2] = p[i, :ne[i]].astype(">u2").view(np.uint8)
+    out, used = ans0_decode_chunks_pallas(
+        jnp.asarray(pay), jnp.asarray(st, jnp.int32),
+        jnp.asarray(freq, jnp.int32), jnp.asarray(cum, jnp.int32))
+    assert np.array_equal(np.asarray(out), chunks)
+    assert np.array_equal(np.asarray(used), ne * 2)
