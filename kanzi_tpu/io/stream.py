@@ -30,6 +30,7 @@ the same ordered-commit contract.
 from __future__ import annotations
 
 import concurrent.futures as cf
+from collections import deque as _deque
 from dataclasses import dataclass, field
 from typing import BinaryIO, Optional
 
@@ -332,6 +333,7 @@ class CompressedOutputStream:
         self._closed = False
         self._block_id = 0
         self._pool = cf.ThreadPoolExecutor(max_workers=tasks) if tasks > 1 else None
+        self._inflight: _deque = _deque()
         self._written_bits = 0
 
     def add_listener(self, lst) -> bool:
@@ -420,6 +422,11 @@ class CompressedOutputStream:
         return len(data)
 
     def _process(self, nblocks: int) -> None:
+        """Submit up to ``nblocks`` pending blocks, then commit completed
+        blocks in order WITHOUT a batch barrier: a slow block never blocks
+        the submission of its successors, only their commit — the pipelined
+        analogue of the reference's per-block spin-wait ordered commit
+        (CompressedOutputStream.java:987-1002)."""
         self._write_header()
         chunks = []
         for _ in range(nblocks):
@@ -429,6 +436,7 @@ class CompressedOutputStream:
             del self._pending[:self.block_size]
             chunks.append(np.frombuffer(bytes(chunk), dtype=np.uint8))
         if not chunks:
+            self._drain(block=False)
             return
 
         # device pre-transform: when the chain STARTS with LZ/LZX and the
@@ -438,29 +446,44 @@ class CompressedOutputStream:
         # match (wire behavior is identical either way)
         lz_hints = self._device_lz_batch(chunks)
 
-        def job(args):
-            i, blk = args
+        def job(blk, bid, hint):
             ctx = dict(self.ctx)
             ctx["jobs"] = 1
-            if lz_hints is not None:
-                ctx["_lz_hint"] = lz_hints[i]
+            if hint is not None:
+                ctx["_lz_hint"] = hint
             return encode_block(blk, self.transform_type, self.entropy_type,
-                                ctx, self.listeners, self._block_id + i + 1)
+                                ctx, self.listeners, bid)
 
-        if self._pool is not None and len(chunks) > 1:
-            results = list(self._pool.map(job, enumerate(chunks)))
-        else:
-            results = [job(x) for x in enumerate(chunks)]
+        for i, blk in enumerate(chunks):
+            bid = self._block_id + i + 1
+            hint = lz_hints[i] if lz_hints is not None else None
+            if self._pool is not None:
+                self._inflight.append(self._pool.submit(job, blk, bid, hint))
+            else:
+                res = job(blk, bid, hint)
+                self._commit(res)
         self._block_id += len(chunks)
-        for arr, nbits in results:
-            written = nbits
-            lw = 3 if written < 8 else log2(written >> 3) + 4
-            fb = BitWriter()
-            fb.write_bits(lw - 3, 5)
-            fb.write_bits(written, lw)
-            self._bits_out(*fb.getvalue_packed())
-            self._bits_out(arr, nbits)
+        # commit all finished heads now; apply backpressure (bounded memory)
+        # only beyond 2*jobs outstanding blocks
+        self._drain(block=False)
+        while len(self._inflight) > 2 * self.jobs:
+            self._commit(self._inflight.popleft().result())
         self._flush_bits(False)
+
+    def _drain(self, block: bool) -> None:
+        """Commit completed in-order heads; with ``block`` wait for all."""
+        while self._inflight and (block or self._inflight[0].done()):
+            self._commit(self._inflight.popleft().result())
+
+    def _commit(self, result) -> None:
+        arr, nbits = result
+        written = nbits
+        lw = 3 if written < 8 else log2(written >> 3) + 4
+        fb = BitWriter()
+        fb.write_bits(lw - 3, 5)
+        fb.write_bits(written, lw)
+        self._bits_out(*fb.getvalue_packed())
+        self._bits_out(arr, nbits)
 
     def _device_lz_batch(self, chunks):
         """One batched device LZX dispatch over all pending blocks, or None
@@ -490,6 +513,7 @@ class CompressedOutputStream:
         self._write_header()
         while self._pending:
             self._process(self.jobs)
+        self._drain(block=True)
         self._closed = True
         eb = BitWriter()
         eb.write_bits(0, 5)
@@ -506,19 +530,76 @@ class CompressedOutputStream:
         self.close()
 
 
+class _BitSource:
+    """Incremental MSB-first bit source over a file object.
+
+    Keeps a bounded sliding window: bytes are pulled from the underlying
+    stream in chunks as bits are requested and the consumed prefix is
+    dropped, so a stream of any size is read with O(block) memory — the
+    analogue of the reference's buffered DefaultInputBitStream feeding
+    CompressedInputStream.java:613-681 one block batch at a time."""
+
+    __slots__ = ("_is", "_chunk", "_data", "_bitpos")
+
+    def __init__(self, is_: BinaryIO, chunk: int = 1 << 20) -> None:
+        self._is = is_
+        self._chunk = chunk
+        self._data = np.zeros(0, dtype=np.uint8)
+        self._bitpos = 0
+
+    def _ensure(self, nbits: int) -> None:
+        while self._data.size * 8 - self._bitpos < nbits:
+            b = self._is.read(max(self._chunk, (nbits + 7) >> 3))
+            if not b:
+                raise EOFError("bitstream exhausted")
+            self._data = np.concatenate(
+                [self._data, np.frombuffer(b, dtype=np.uint8)])
+
+    def _compact(self) -> None:
+        drop = self._bitpos >> 3
+        if drop >= (64 << 10):
+            self._data = self._data[drop:]
+            self._bitpos -= drop << 3
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def read_bits(self, count: int) -> int:
+        self._ensure(count)
+        br = BitReader(self._data, bitpos=self._bitpos)
+        v = br.read_bits(count)
+        self._bitpos = br.read_count
+        return v
+
+    def read_packed(self, nbits: int):
+        self._compact()
+        self._ensure(nbits)
+        br = BitReader(self._data, bitpos=self._bitpos)
+        arr = br.read_packed(nbits)
+        self._bitpos = br.read_count
+        return arr
+
+
 class CompressedInputStream:
-    """java.io-style compressed stream reader."""
+    """java.io-style compressed stream reader.
+
+    Streaming: at most ``jobs`` blocks are framed + in flight at any time;
+    ``read(n)`` decodes only until n bytes are buffered (the reference's
+    batch-of-jobs DecodingTask scheme, CompressedInputStream.java:613-681,
+    1106-1123), so memory stays bounded by O(jobs * blockSize) regardless
+    of archive size."""
 
     def __init__(self, is_: BinaryIO, ctx: dict) -> None:
         self.ctx = dict(ctx or {})
         self.jobs = int(self.ctx.get("jobs", 1))
         self.listeners: list = []
         self.headless = bool(self.ctx.get("headerless", False))
-        data = is_.read()
-        self._br = BitReader(data)
+        self._br = _BitSource(is_)
         self._out = bytearray()
         self._pos = 0
         self._eos = False
+        self._next_block_id = 1
+        self._inflight: _deque = _deque()
         self.checksum = 0
         self._pool = cf.ThreadPoolExecutor(max_workers=self.jobs) if self.jobs > 1 else None
         if self.headless:
@@ -620,54 +701,79 @@ class CompressedInputStream:
                               transform_factory.get_name(self.transform_type),
                               self.output_size or -1)))
 
-    def _decode_all(self) -> None:
-        if self._eos:
-            return
+    def _frame_next(self):
+        """Read one block's framing + payload from the bit source; returns
+        (block_id, payload, nbits) for an in-range block, None for a skipped
+        one, and sets _eos at the end-of-stream / --to boundary."""
         br = self._br
         from_blk = int(self.ctx.get("from", 0))
         to_blk = int(self.ctx.get("to", 1 << 30))
-        payloads = []
-        block_id = 1
-        while True:
-            try:
-                lw = br.read_bits(5) + 3
-                nbits = br.read_bits(lw)
-            except EOFError:
-                raise IOError_("truncated stream: missing end-of-stream block",
-                               Error.ERR_READ_FILE)
-            if nbits == 0:
-                break
-            # payloads are bit-packed: consume exactly nbits, realign to bytes
-            try:
-                payload = br.read_packed(nbits)
-            except EOFError:
-                raise IOError_("truncated stream: incomplete block payload",
-                               Error.ERR_READ_FILE)
-            if from_blk <= block_id < to_blk:
-                payloads.append((block_id, payload, nbits))
-            block_id += 1
-        self._eos = True
+        try:
+            lw = br.read_bits(5) + 3
+            nbits = br.read_bits(lw)
+        except EOFError:
+            raise IOError_("truncated stream: missing end-of-stream block",
+                           Error.ERR_READ_FILE)
+        if nbits == 0:
+            self._eos = True
+            return None
+        try:
+            # payloads are bit-packed: consume exactly nbits
+            payload = br.read_packed(nbits)
+        except EOFError:
+            raise IOError_("truncated stream: incomplete block payload",
+                           Error.ERR_READ_FILE)
+        bid = self._next_block_id
+        self._next_block_id += 1
+        if bid >= to_blk:
+            self._eos = True  # nothing past --to is ever decoded
+            return None
+        if bid < from_blk:
+            return None
+        return bid, payload, nbits
 
-        def job(args):
-            bid, payload, nb = args
-            ctx = dict(self.ctx)
-            ctx["jobs"] = 1
-            return decode_block(payload, nb, self.transform_type, self.entropy_type,
-                                self.block_size, ctx, self.listeners, bid)
+    def _decode_job(self, framed):
+        bid, payload, nbits = framed
+        ctx = dict(self.ctx)
+        ctx["jobs"] = 1
+        return decode_block(payload, nbits, self.transform_type,
+                            self.entropy_type, self.block_size, ctx,
+                            self.listeners, bid)
 
-        if self._pool is not None and len(payloads) > 1:
-            results = list(self._pool.map(job, payloads))
-        else:
-            results = [job(p) for p in payloads]
-        for r in results:
+    def _advance(self) -> None:
+        """Top the in-flight window up to ``jobs`` framed blocks, then
+        commit the (in-order) head into the output buffer."""
+        while not self._eos and len(self._inflight) < self.jobs:
+            framed = self._frame_next()
+            if framed is None:
+                continue
+            if self._pool is not None:
+                self._inflight.append(self._pool.submit(self._decode_job, framed))
+            else:
+                self._inflight.append(framed)
+        if self._inflight:
+            head = self._inflight.popleft()
+            r = head.result() if self._pool is not None else self._decode_job(head)
             self._out += r.tobytes()
 
+    def _fill(self, need: int) -> None:
+        while (len(self._out) - self._pos) < need and \
+                not (self._eos and not self._inflight):
+            self._advance()
+
     def read(self, n: int = -1) -> bytes:
-        self._decode_all()
+        if n < 0:
+            self._fill(1 << 62)
+        else:
+            self._fill(n)
         if n < 0:
             n = len(self._out) - self._pos
         res = bytes(self._out[self._pos:self._pos + n])
         self._pos += len(res)
+        # drop the consumed prefix so long streams read in bounded memory
+        if self._pos >= (8 << 20):
+            del self._out[:self._pos]
+            self._pos = 0
         return res
 
     def close(self) -> None:

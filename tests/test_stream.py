@@ -106,3 +106,125 @@ def test_level_presets_roundtrip(rng):
                                jobs=2).compress_bytes(data)
         out = BlockDecompressor(jobs=2).decompress_bytes(blob)
         assert out == data, f"level {level}"
+
+
+def test_streaming_read_is_lazy():
+    """read(1) must not decode later blocks and must not slurp the file:
+    CompressedInputStream.java:613-681 decodes jobs blocks per batch."""
+    import io
+
+    from kanzi_tpu.io.stream import CompressedInputStream, CompressedOutputStream
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, 64 * 1024, dtype=np.uint8).tobytes()
+    sink = io.BytesIO()
+    with CompressedOutputStream(sink, {"entropy": "HUFFMAN",
+                                       "transform": "NONE",
+                                       "blockSize": 16 * 1024}) as cos:
+        cos.write(data)
+
+    decoded_ids = []
+
+    from kanzi_tpu.core.events import EventType
+
+    class Rec:
+        def process_event(self, evt):
+            if evt.type == EventType.BEFORE_TRANSFORM:
+                decoded_ids.append(evt.block_id)
+
+    class CountingReader(io.BytesIO):
+        def __init__(self, b):
+            super().__init__(b)
+            self.consumed = 0
+
+        def read(self, n=-1):
+            b = super().read(n)
+            self.consumed += len(b)
+            return b
+
+    src = CountingReader(sink.getvalue())
+    cis = CompressedInputStream(src, {"jobs": 1})
+    cis.add_listener(Rec())
+    first = cis.read(1)
+    assert len(first) == 1
+    # exactly one of the four blocks decoded, later blocks untouched
+    assert decoded_ids == [1]
+    rest = cis.read(-1)
+    assert first + rest == data
+    assert decoded_ids == [1, 2, 3, 4]
+    cis.close()
+
+
+def test_streaming_bounded_window():
+    """A multi-block archive decodes through a pipe-like unseekable reader
+    and the input window never holds more than ~jobs blocks of payload."""
+    import io
+
+    from kanzi_tpu.io.stream import CompressedInputStream, CompressedOutputStream
+
+    data = (b"kanzi streaming window " * 9000)  # ~206 KiB, compressible
+    sink = io.BytesIO()
+    with CompressedOutputStream(sink, {"entropy": "ANS0", "transform": "LZX",
+                                       "blockSize": 16 * 1024,
+                                       "jobs": 2}) as cos:
+        cos.write(data)
+    blob = sink.getvalue()
+
+    class Unseekable:
+        """read-only, no seek/getvalue: forces true incremental reads."""
+
+        def __init__(self, b):
+            self._b = b
+            self._o = 0
+            self.max_resident = 0
+
+        def read(self, n=-1):
+            if n < 0:
+                n = len(self._b) - self._o
+            r = self._b[self._o:self._o + n]
+            self._o += len(r)
+            return r
+
+    src = Unseekable(blob)
+    cis = CompressedInputStream(src, {"jobs": 2})
+    out = bytearray()
+    while True:
+        piece = cis.read(8 * 1024)
+        if not piece:
+            break
+        out += piece
+    assert bytes(out) == data
+    cis.close()
+
+
+def test_encoder_pipelined_commit_order():
+    """Blocks must land in the stream in block order even when early blocks
+    finish last (the reference's ordered-commit contract)."""
+    import io
+    import time as _t
+
+    import kanzi_tpu.io.stream as S
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 8 * 4096, dtype=np.uint8).tobytes()
+
+    orig = S.encode_block
+
+    def slow_first(block, *a, **kw):
+        bid = a[-1] if a else kw.get("block_id", 0)
+        if bid == 1:
+            _t.sleep(0.15)  # first block finishes AFTER its successors
+        return orig(block, *a, **kw)
+
+    sink = io.BytesIO()
+    S.encode_block = slow_first
+    try:
+        with S.CompressedOutputStream(sink, {"entropy": "HUFFMAN",
+                                             "transform": "NONE",
+                                             "blockSize": 4096,
+                                             "jobs": 4}) as cos:
+            cos.write(data)
+    finally:
+        S.encode_block = orig
+    out = S.CompressedInputStream(io.BytesIO(sink.getvalue()), {"jobs": 2})
+    assert out.read(-1) == data
