@@ -489,6 +489,10 @@ class CompressedOutputStream:
         """One batched device LZX dispatch over all pending blocks, or None
         when the gate is off / the chain does not start with LZ/LZX."""
         import os
+        if getattr(self, "_lz_hint_fn", None) is not None:
+            # mesh path (parallel.engine.mesh_l1_compress): the per-block
+            # transform stage already ran sharded over the device mesh
+            return self._lz_hint_fn(chunks)
         if os.environ.get("KANZI_TPU_DEVICE_LZ", "0") in ("", "0"):
             return None
         from ..transforms.factory import (LZ_TYPE, LZX_TYPE, MASK,

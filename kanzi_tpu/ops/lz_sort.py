@@ -52,6 +52,95 @@ EDGE = 16                     # no claims this close to a row end (padding)
 _SIGN = np.int32(-0x80000000)  # two's-complement sign flip: u32 sort order
 
 
+def _match_flat(bufs, src_end, max_dist, mm: int):
+    """v3 whole-block match finding: each batch row is one zero-padded
+    BLOCK (not a windowed slice), so candidates reach anywhere earlier in
+    the block — the full 24-bit distance budget of the format
+    (LZCodec.java:152-153 MAX_DISTANCE2), which the 64 KiB-window row
+    engine could not express and which cost it the ratio vs the host
+    parse.  bufs (B, N) u8; src_end (B,) i32 = count-18 per block;
+    max_dist (B,) i32 = 65534 or 2^24-2 by the reference's block-size rule.
+    Returns position-order (mlen, dist) of shape (B, N)."""
+    import jax
+    import jax.numpy as jnp
+
+    nb, n = bufs.shape
+    b = bufs.astype(jnp.int32)
+
+    def byte_at(k):  # b shifted left by k along the row, zero-filled
+        return jnp.concatenate(
+            [b[:, k:], jnp.zeros((nb, k), jnp.int32)], axis=1)
+
+    bs = [byte_at(k) for k in range(4)]
+    w0 = (bs[0] << 24) | (bs[1] << 16) | (bs[2] << 8) | bs[3]
+    w1 = jnp.concatenate([w0[:, 4:], jnp.zeros((nb, 4), jnp.int32)], axis=1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 1)
+
+    # ---- sort #1: exact 8-byte content (unsigned lexicographic) ----
+    k0, k1, sidx = jax.lax.sort((w0 ^ _SIGN, w1 ^ _SIGN, idx),
+                                num_keys=2, is_stable=True)
+
+    def rolled(x, r):  # sorted predecessor at radius r (row-local shift)
+        return jnp.concatenate(
+            [jnp.zeros((nb, r), x.dtype), x[:, :-r]], axis=1)
+
+    pos_ok = sidx < src_end[:, None]
+    cand = jnp.zeros((nb, n), jnp.int32)
+    mlen = jnp.zeros((nb, n), jnp.int32)
+    # a predecessor equal in both keys shares >= 8 bytes; equal in k0 only
+    # shares exactly 4 + lead-bytes(k1^k1') in [4,8) (sign flips cancel).
+    # Keys of positions past src_end mix in the zero padding, but such
+    # positions only ever appear as candidates c < p <= src_end, and an
+    # 8-byte window starting below src_end ends inside the real data.
+    for r in (3, 2, 1):  # nearest radius wins (sorted => contiguous keys)
+        eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the filled prefix
+        eq = eq0 & (k1 == rolled(k1, r))
+        c = rolled(sidx, r)
+        base = eq0 & pos_ok & (sidx - c > 0) & (sidx - c <= max_dist[:, None])
+        x4 = (k1 ^ rolled(k1, r)).astype(jnp.uint32)
+        l4 = 4 + ((x4 < (1 << 24)).astype(jnp.int32)
+                  + (x4 < (1 << 16)).astype(jnp.int32)
+                  + (x4 < (1 << 8)).astype(jnp.int32))
+        l = jnp.where(eq, 8, l4)
+        cand = jnp.where(base, c, cand)
+        mlen = jnp.where(base, l, mlen)
+
+    # ---- sort #2: back to position order; (cand, mlen) packed in one i32
+    # (cand < 2^23, mlen-4 in [0,4] -> 3 bits) ----
+    pack = (cand << 3) | (mlen - jnp.where(mlen > 0, 4, 0))
+    pack = jnp.where(mlen > 0, pack, -1)
+    _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
+    has = pk >= 0
+    cand_p = jnp.where(has, pk >> 3, 0)
+    mlen_p = jnp.where(has, (pk & 7) + 4, 0)
+    dist_p = idx - cand_p
+    mlen2 = jnp.minimum(mlen_p, jnp.maximum(src_end[:, None] - idx, 0))
+    mlen2 = jnp.where(mlen2 >= max(mm, 4), mlen2, 0)
+    return mlen2.reshape(-1), dist_p.reshape(-1)
+
+
+def _analyze_flat(bufs, src_end, max_dist, mm: int):
+    mlen, dist = _match_flat(bufs, src_end, max_dist, mm)
+    return _parse_stage(mlen, dist, mm)
+
+
+@functools.lru_cache(maxsize=None)
+def _analyze_flat_jit(mm: int):
+    import jax
+    return jax.jit(functools.partial(_analyze_flat, mm=mm))
+
+
+MAX_FLAT = 1 << 23   # blocks beyond 8 Mi fall back to the windowed rows
+
+
+def _flat_bucket(n: int) -> int:
+    """Padded whole-block length: a few fixed shapes bound compile count."""
+    b = 1 << 18
+    while b < n:
+        b <<= 1
+    return b
+
+
 def _match_stage(rows, vend, isfirst, mm: int):
     """Match finding over a batch of independent rows (possibly spanning
     several blocks).  rows (B, ROW) uint8; vend (B,) i32 = number of valid
@@ -289,17 +378,77 @@ def _row_buckets(nb: int):
     return GROUP_ROWS
 
 
+def _block_max_dist(count: int) -> int:
+    """The reference's distance-mode rule (LZCodec.java:152-153)."""
+    return MAX_DISTANCE1 if count - 18 < 4 * MAX_DISTANCE1 \
+        else (1 << 24) - 2
+
+
 def lzx_forward_device_batch(blocks, extra: bool = False,
                              min_match: int = 4):
-    """Batched LZX forward: blocks' rows go to the device in fixed-shape
-    groups (amortizes launch latency, keeps the sort pipelines full, and
-    bounds XLA sort compile time), tokens come back per group, and each
-    block is emitted independently.  Returns a list aligned with ``blocks``
-    (None = skip that block)."""
+    """Batched LZX forward (v3 whole-block engine): each block is analyzed
+    as ONE padded batch row — full-block distance reach (24-bit mode for
+    blocks >= 256 KiB, matching LZCodec.java:152-153) — with same-bucket
+    blocks stacked per dispatch.  Blocks beyond MAX_FLAT use the windowed
+    row engine.  Returns a list aligned with ``blocks`` (None = skip)."""
     import jax.numpy as jnp
 
     mm = min_match if min_match > 0 else 4
     blocks = [np.asarray(b, dtype=np.uint8) for b in blocks]
+    out = [None] * len(blocks)
+    big = [i for i, b in enumerate(blocks) if b.size > MAX_FLAT]
+    if big:
+        for i, r in zip(big, _lzx_rows_batch([blocks[i] for i in big], mm)):
+            out[i] = r
+    live = [i for i, b in enumerate(blocks)
+            if MIN_BLOCK_LENGTH <= b.size <= MAX_FLAT]
+    if not live:
+        return out
+
+    # group same-bucket blocks; bound one dispatch at 2^23 positions
+    fn = _analyze_flat_jit(mm)
+    by_bucket: dict[int, list[int]] = {}
+    for i in live:
+        by_bucket.setdefault(_flat_bucket(blocks[i].size), []).append(i)
+    pend = []
+    for bucket, idxs in by_bucket.items():
+        per = max(1, MAX_FLAT // bucket)
+        for g0 in range(0, len(idxs), per):
+            grp = idxs[g0:g0 + per]
+            bufs = np.zeros((len(grp), bucket), np.uint8)
+            send = np.zeros(len(grp), np.int32)
+            mdist = np.zeros(len(grp), np.int32)
+            for j, i in enumerate(grp):
+                bufs[j, :blocks[i].size] = blocks[i]
+                send[j] = blocks[i].size - 18
+                mdist[j] = _block_max_dist(blocks[i].size)
+            pend.append((grp, bucket,
+                         fn(jnp.asarray(bufs), jnp.asarray(send),
+                            jnp.asarray(mdist))))
+
+    for grp, bucket, (pos_c, mlen_c, dist_c, n_tok) in pend:
+        k = int(n_tok)
+        kpad = min(1 << max(k - 1, 1).bit_length(), pos_c.shape[0])
+        p = np.asarray(pos_c[:kpad])[:k].astype(np.int64)
+        l = np.asarray(mlen_c[:kpad])[:k].astype(np.int64)
+        d = np.asarray(dist_c[:kpad])[:k].astype(np.int64)
+        for j, i in enumerate(grp):
+            lo, hi = np.searchsorted(p, [j * bucket, (j + 1) * bucket])
+            pi, li, di = p[lo:hi] - j * bucket, l[lo:hi].copy(), d[lo:hi]
+            src = blocks[i]
+            if pi.size:
+                md = _block_max_dist(src.size)
+                out[i] = _emit_native(src, mm, pi, li, di, md)
+                if out[i] is False:  # no native library: numpy path
+                    li = _extend_tokens_host(src, pi, li, di, src.size - 18)
+                    out[i] = _emit(src, src.size, mm, md, pi, li, di)
+    return out
+
+
+def _lzx_rows_batch(blocks, mm: int):
+    """Windowed 256 KiB-row engine (v2) for blocks beyond MAX_FLAT."""
+    import jax.numpy as jnp
+
     parts = [(_block_rows(b) if b.size >= MIN_BLOCK_LENGTH else None)
              for b in blocks]
     live = [i for i, p in enumerate(parts) if p is not None]
@@ -352,7 +501,7 @@ def lzx_forward_device_batch(blocks, extra: bool = False,
         pi, li, di = p[lo:hi] - base, l[lo:hi].copy(), d[lo:hi]
         src = blocks[i]
         if pi.size:
-            out[i] = _emit_native(src, mm, pi, li, di)
+            out[i] = _emit_native(src, mm, pi, li, di, MAX_DISTANCE1)
             if out[i] is False:  # no native library: numpy path
                 li = _extend_tokens_host(src, pi, li, di, src.size - 18)
                 out[i] = _emit(src, src.size, mm, MAX_DISTANCE1, pi, li, di)
@@ -360,7 +509,8 @@ def lzx_forward_device_batch(blocks, extra: bool = False,
     return out
 
 
-def _emit_native(src: np.ndarray, mm: int, p, l, d):
+def _emit_native(src: np.ndarray, mm: int, p, l, d,
+                 max_dist: int = MAX_DISTANCE1):
     """C++ fuse+extend+emit (native/lz.cpp kz_lzx_emit_tokens); returns
     False when the library is unavailable, None when the block gains
     nothing, else the stream bytes."""
@@ -374,7 +524,8 @@ def _emit_native(src: np.ndarray, mm: int, p, l, d):
         u8p = c.POINTER(c.c_uint8)
         lib.kz_lzx_emit_tokens.restype = c.c_int64
         lib.kz_lzx_emit_tokens.argtypes = [u8p, c.c_int64, i32p, i32p, i32p,
-                                           c.c_int64, c.c_int32, u8p]
+                                           c.c_int64, c.c_int32, c.c_int32,
+                                           u8p]
         lib._lz_emit_sig = True
     spad = np.zeros(src.size + 16, np.uint8)
     spad[:src.size] = src
@@ -387,7 +538,7 @@ def _emit_native(src: np.ndarray, mm: int, p, l, d):
         return a.ctypes.data_as(c.POINTER(c.c_int32))
 
     n = lib.kz_lzx_emit_tokens(as_u8p(spad), src.size, _i32p(pi), _i32p(li),
-                               _i32p(di), pi.size, mm, as_u8p(dst))
+                               _i32p(di), pi.size, mm, max_dist, as_u8p(dst))
     if n < 0:
         return None
     return dst[:n].copy()

@@ -474,14 +474,16 @@ EXPORT i64 kz_lzp_inverse(const u8* src, i64 count, u8* dst, i64 dstCap) {
 // size or -1 when the block would not gain.
 EXPORT i64 kz_lzx_emit_tokens(const u8* src, i64 count, const i32* pos,
                               const i32* len, const i32* dist, i64 k,
-                              i32 min_match, u8* dst) {
+                              i32 min_match, i32 max_dist, u8* dst) {
     const i64 srcEnd = count - 16 - 2;
     const i32 minMatch = (min_match > 0) ? min_match : MIN_MATCH4;
-    dst[12] = 0;  // 16-bit-distance mode (the sort engine's 64 KiB window)
+    // mode byte bit 0 selects the distance width (LZCodec.java:584-593):
+    // 0 = up to 2 distance bytes (64 KiB window), 1 = up to 3 (16 MiB)
+    dst[12] = (max_dist > 0xFFFE) ? 1 : 0;
     dst[12] |= (u8)(((minMatch - 2) & 0x07) << 1);
     // splitting can add up to count/65535 segments beyond the fused tokens
     const i64 maxSeg = k + count / 65535 + 32;
-    std::vector<u8> tkBuf(maxSeg), mBuf(2 * maxSeg), mLenBuf(4 * maxSeg);
+    std::vector<u8> tkBuf(maxSeg), mBuf(3 * maxSeg), mLenBuf(4 * maxSeg);
     i64 dstIdx = 13, tkIdx = 0, mIdx = 0, mLenIdx = 0;
     i64 anchor = 0;
     i32 repd[2] = {(i32)count, (i32)count};
@@ -506,11 +508,11 @@ EXPORT i64 kz_lzx_emit_tokens(const u8* src, i64 count, const i32* pos,
             if (d == repd[0]) { token = 0x00; mLenTh = 3; }
             else if (d == repd[1]) { token = 0x04; mLenTh = 3; }
             else {
-                mBuf[mIdx] = (u8)(d >> 8);
-                const i32 inc = d >= 256 ? 1 : 0;
-                mIdx += inc;
+                const i32 nb = 1 + (d >= 256 ? 1 : 0) + (d >= 65536 ? 1 : 0);
+                if (nb == 3) mBuf[mIdx++] = (u8)(d >> 16);
+                if (nb >= 2) mBuf[mIdx++] = (u8)(d >> 8);
                 mBuf[mIdx++] = (u8)d;
-                token = (inc + 1) << 3;
+                token = nb << 3;
                 mLenTh = 7;
             }
             const i32 mLen = (i32)seg - minMatch;

@@ -1,0 +1,65 @@
+"""Full level-1 pipeline over the virtual device mesh: the per-block LZX
+transform stage sharded via shard_map + all_gather, committed in block
+order through the standard v7 writer (the mesh analogue of the per-block
+EncodingTask scope, CompressedOutputStream.java:512-586)."""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+
+
+def _mesh(n):
+    import jax
+
+    from kanzi_tpu.parallel.engine import make_mesh
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return make_mesh(n)
+
+
+def test_mesh_l1_round_trip_mixed():
+    from kanzi_tpu.io.stream import CompressedInputStream
+    from kanzi_tpu.parallel.engine import mesh_l1_compress
+    from kanzi_tpu.utils.corpus import mixed_corpus
+
+    mesh = _mesh(8)
+    data = mixed_corpus(4 << 20)
+    wire = mesh_l1_compress(mesh, data, block_size=1 << 19)
+    assert len(wire) < data.size          # it actually compresses
+    out = CompressedInputStream(io.BytesIO(wire), {"jobs": 2}).read(-1)
+    assert out == data.tobytes()
+
+
+@pytest.mark.xfail(strict=False,
+                   reason="device parse ratio parity lands with the "
+                          "two-tier matcher (tracked: VERDICT r2 item 2)")
+def test_mesh_l1_matches_host_level1_ratio():
+    """The mesh path must produce a stream no larger than ~1.02x the host
+    level-1 writer on the same bytes (same engine per shard; padding rows
+    at block boundaries may cost a whisker)."""
+    from kanzi_tpu.app.block_compressor import BlockCompressor
+    from kanzi_tpu.parallel.engine import mesh_l1_compress
+    from kanzi_tpu.utils.corpus import mixed_corpus
+
+    mesh = _mesh(8)
+    data = mixed_corpus(2 << 20, seed=3)
+    wire = mesh_l1_compress(mesh, data, block_size=1 << 19)
+    host = BlockCompressor(transform="LZX", entropy="NONE",
+                           block_size=1 << 19, jobs=2).compress_bytes(
+        data.tobytes())
+    assert len(wire) <= int(len(host) * 1.02)
+
+
+def test_mesh_l1_incompressible_copy_fallback():
+    from kanzi_tpu.io.stream import CompressedInputStream
+    from kanzi_tpu.parallel.engine import mesh_l1_compress
+
+    mesh = _mesh(8)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, 1 << 20, dtype=np.uint8)
+    wire = mesh_l1_compress(mesh, data, block_size=1 << 19)
+    out = CompressedInputStream(io.BytesIO(wire), {}).read(-1)
+    assert out == data.tobytes()
