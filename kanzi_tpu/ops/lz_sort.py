@@ -76,44 +76,67 @@ def _match_flat(bufs, src_end, max_dist, mm: int):
     w1 = jnp.concatenate([w0[:, 4:], jnp.zeros((nb, 4), jnp.int32)], axis=1)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 1)
 
-    # ---- sort #1: exact 8-byte content (unsigned lexicographic) ----
-    k0, k1, sidx = jax.lax.sort((w0 ^ _SIGN, w1 ^ _SIGN, idx),
-                                num_keys=2, is_stable=True)
-
     def rolled(x, r):  # sorted predecessor at radius r (row-local shift)
         return jnp.concatenate(
             [jnp.zeros((nb, r), x.dtype), x[:, :-r]], axis=1)
 
-    pos_ok = sidx < src_end[:, None]
-    cand = jnp.zeros((nb, n), jnp.int32)
-    mlen = jnp.zeros((nb, n), jnp.int32)
-    # a predecessor equal in both keys shares >= 8 bytes; equal in k0 only
-    # shares exactly 4 + lead-bytes(k1^k1') in [4,8) (sign flips cancel).
-    # Keys of positions past src_end mix in the zero padding, but such
-    # positions only ever appear as candidates c < p <= src_end, and an
-    # 8-byte window starting below src_end ends inside the real data.
-    for r in (3, 2, 1):  # nearest radius wins (sorted => contiguous keys)
-        eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the filled prefix
-        eq = eq0 & (k1 == rolled(k1, r))
-        c = rolled(sidx, r)
-        base = eq0 & pos_ok & (sidx - c > 0) & (sidx - c <= max_dist[:, None])
-        x4 = (k1 ^ rolled(k1, r)).astype(jnp.uint32)
-        l4 = 4 + ((x4 < (1 << 24)).astype(jnp.int32)
-                  + (x4 < (1 << 16)).astype(jnp.int32)
-                  + (x4 < (1 << 8)).astype(jnp.int32))
-        l = jnp.where(eq, 8, l4)
-        cand = jnp.where(base, c, cand)
-        mlen = jnp.where(base, l, mlen)
+    def probe(k0, k1, sidx):
+        """Radius-1..3 predecessor probe in the current sort order.  A
+        predecessor equal in both keys shares >= 8 bytes; equal in k0 only
+        shares exactly 4 + lead-bytes(k1^k1') in [4,8) (sign flips cancel).
+        Keys of positions past src_end mix in the zero padding, but such
+        positions only ever appear as candidates c < p <= src_end, and an
+        8-byte window starting below src_end ends inside the real data."""
+        pos_ok = sidx < src_end[:, None]
+        cand = jnp.zeros((nb, n), jnp.int32)
+        mlen = jnp.zeros((nb, n), jnp.int32)
+        for r in (3, 2, 1):  # nearest radius wins
+            eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the prefix
+            eq = eq0 & (k1 == rolled(k1, r))
+            c = rolled(sidx, r)
+            base = eq0 & pos_ok & (sidx - c > 0) \
+                & (sidx - c <= max_dist[:, None])
+            x4 = (k1 ^ rolled(k1, r)).astype(jnp.uint32)
+            l4 = 4 + ((x4 < (1 << 24)).astype(jnp.int32)
+                      + (x4 < (1 << 16)).astype(jnp.int32)
+                      + (x4 < (1 << 8)).astype(jnp.int32))
+            l = jnp.where(eq, 8, l4)
+            cand = jnp.where(base, c, cand)
+            mlen = jnp.where(base, l, mlen)
+        return cand, mlen
 
-    # ---- sort #2: back to position order; (cand, mlen) packed in one i32
-    # (cand < 2^23, mlen-4 in [0,4] -> 3 bits) ----
-    pack = (cand << 3) | (mlen - jnp.where(mlen > 0, 4, 0))
-    pack = jnp.where(mlen > 0, pack, -1)
-    _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
-    has = pk >= 0
-    cand_p = jnp.where(has, pk >> 3, 0)
-    mlen_p = jnp.where(has, (pk & 7) + 4, 0)
-    dist_p = idx - cand_p
+    def unsort(sidx, cand, mlen):
+        """Back to position order; (cand, mlen) packed in one i32
+        (cand < 2^23, mlen-4 in [0,4] -> 3 bits)."""
+        pack = (cand << 3) | (mlen - jnp.where(mlen > 0, 4, 0))
+        pack = jnp.where(mlen > 0, pack, -1)
+        _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
+        has = pk >= 0
+        cand_p = jnp.where(has, pk >> 3, 0)
+        mlen_p = jnp.where(has, (pk & 7) + 4, 0)
+        return jnp.where(has, idx - cand_p, 0), mlen_p
+
+    # tier A — content order: sort by the exact 8-byte window; the sorted
+    # neighborhood holds the nearest SAME-8-BYTE predecessors (long/far
+    # matches the single-entry reference hash often evicts)
+    kA0, kA1, sidxA = jax.lax.sort((w0 ^ _SIGN, w1 ^ _SIGN, idx),
+                                   num_keys=2, is_stable=True)
+    distA, mlenA = unsort(sidxA, *probe(kA0, kA1, sidxA))
+    # tier B — position order within equal 4-byte prefixes: the stable
+    # 1-key sort leaves ties in idx order, so radius probes yield the most
+    # RECENT same-4-byte predecessors — the reference's own match model
+    # (LZCodec.java:144-151 single-entry hash), which tier A's k1-ordered
+    # runs miss for short matches; lengths come from the carried k1 bytes
+    kB0, sidxB, kB1 = jax.lax.sort((w0 ^ _SIGN, idx, w1 ^ _SIGN),
+                                   num_keys=1, is_stable=True)
+    distB, mlenB = unsort(sidxB, *probe(kB0, kB1, sidxB))
+
+    # merge tiers: longer wins, ties prefer the shorter distance; a len-4
+    # match is uneconomic at 3-byte distances (token + 3 > the 4 literals)
+    better = (mlenB > mlenA) | ((mlenB == mlenA) & (distB < distA))
+    mlen_p = jnp.where(better, mlenB, mlenA)
+    dist_p = jnp.where(better, distB, distA)
+    mlen_p = jnp.where((dist_p >= 65536) & (mlen_p <= 4), 0, mlen_p)
     mlen2 = jnp.minimum(mlen_p, jnp.maximum(src_end[:, None] - idx, 0))
     mlen2 = jnp.where(mlen2 >= max(mm, 4), mlen2, 0)
     return mlen2.reshape(-1), dist_p.reshape(-1)

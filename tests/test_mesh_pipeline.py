@@ -33,9 +33,6 @@ def test_mesh_l1_round_trip_mixed():
     assert out == data.tobytes()
 
 
-@pytest.mark.xfail(strict=False,
-                   reason="device parse ratio parity lands with the "
-                          "two-tier matcher (tracked: VERDICT r2 item 2)")
 def test_mesh_l1_matches_host_level1_ratio():
     """The mesh path must produce a stream no larger than ~1.02x the host
     level-1 writer on the same bytes (same engine per shard; padding rows
