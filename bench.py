@@ -83,22 +83,29 @@ def bench_l1_tpu(data: np.ndarray):
     blob = run()
     e2e = data.size / (time.perf_counter() - t0) / 1e9
 
-    # device-resident analyze: blocks already in HBM, tokens stay on device
+    # device-resident analyze: rows already in HBM, tokens stay on device
     # (the production model: payloads consumed device-side / over ICI; this
-    # box's d2h tunnel is a dev-harness artifact)
-    fn = L._analyze_flat_jit(4)
-    send = jnp.asarray(np.array([BLOCK - 18], np.int32))
-    md = jnp.asarray(np.array([L._block_max_dist(BLOCK)], np.int32))
-    devb = []
-    for b in blocks:
-        buf = np.zeros((1, BLOCK), np.uint8)
-        buf[0, :b.size] = b
-        devb.append(jnp.asarray(buf))
-    _ = int(fn(devb[0], send, md)[3])  # warm
+    # box's d2h tunnel is a dev-harness artifact).  Grouped exactly like
+    # the production dispatch (fixed 24-row shapes, async pipelined).
+    parts = [L._block_rows(b) for b in blocks]
+    rows = np.concatenate([p[0] for p in parts])
+    vend = np.concatenate([p[1] for p in parts])
+    isf = np.concatenate([p[2] for p in parts])
+    mdr = np.concatenate([p[3] for p in parts])
+    G = L.GROUP_ROWS
+    nb = rows.shape[0] - rows.shape[0] % G  # whole groups only
+    groups = []
+    for g0 in range(0, nb, G):
+        groups.append((jnp.asarray(rows[g0:g0 + G]),
+                       jnp.asarray(vend[g0:g0 + G]),
+                       jnp.asarray(isf[g0:g0 + G]),
+                       jnp.asarray(mdr[g0:g0 + G])))
+    fn = L._analyze_jit(4)
+    _ = int(fn(*groups[0])[3])  # warm
     t0 = time.perf_counter()
-    outs = [fn(b, send, md) for b in devb]     # async pipeline
+    outs = [fn(*g) for g in groups]            # async pipeline
     _ = [int(o[3]) for o in outs]
-    dev = data.size / (time.perf_counter() - t0) / 1e9
+    dev = (nb * L.STRIDE) / (time.perf_counter() - t0) / 1e9
     return e2e, dev, len(blob) / data.size
 
 

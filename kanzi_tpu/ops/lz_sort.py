@@ -164,12 +164,14 @@ def _flat_bucket(n: int) -> int:
     return b
 
 
-def _match_stage(rows, vend, isfirst, mm: int):
-    """Match finding over a batch of independent rows (possibly spanning
-    several blocks).  rows (B, ROW) uint8; vend (B,) i32 = number of valid
-    token positions in the row's token region (clips match ends at the
-    block's src_end); isfirst (B,) bool = the row's left context is zero
-    padding (block start), so candidates must not reach into it.
+def _match_stage(rows, vend, isfirst, mdrow, mm: int):
+    """Two-tier match finding over a batch of independent rows (possibly
+    spanning several blocks).  rows (B, ROW) uint8; vend (B,) i32 = number
+    of valid token positions in the row's token region (clips match ends
+    at the block's src_end); isfirst (B,) bool = the row's left context is
+    zero padding (block start), so candidates must not reach into it;
+    mdrow (B,) i32 = the owning block's distance budget (65534 or 2^24-2,
+    LZCodec.java:152-153) — in-row distances reach the full 256 KiB row.
     Returns flat position-order (mlen, dist) arrays of size B*STRIDE."""
     import jax
     import jax.numpy as jnp
@@ -187,45 +189,64 @@ def _match_stage(rows, vend, isfirst, mm: int):
                          axis=1)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nrows, ROW), 1)
 
-    # ---- sort #1: exact 8-byte content (unsigned lexicographic) ----
-    k0, k1, sidx = jax.lax.sort((w0 ^ _SIGN, w1 ^ _SIGN, idx),
-                                num_keys=2, is_stable=True)
-
     def rolled(x, r):  # sorted predecessor at radius r (row-local shift)
         return jnp.concatenate(
             [jnp.zeros((nrows, r), x.dtype), x[:, :-r]], axis=1)
 
-    pos_ok = (sidx <= ROW - EDGE)
-    # a block's first row has zero padding as left context: candidates
-    # there would reference data before the block start (wire-invalid)
     first = isfirst[:, None]
-    cand = jnp.zeros((nrows, ROW), jnp.int32)
-    mlen = jnp.zeros((nrows, ROW), jnp.int32)
-    # a predecessor equal in both keys shares >= 8 bytes; equal in k0 only
-    # shares exactly 4 + lead-bytes(k1^k1') in [4,8) (sign flips cancel)
-    for r in (3, 2, 1):  # nearest radius wins (sorted => contiguous keys)
-        eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the filled prefix
-        eq = eq0 & (k1 == rolled(k1, r))
-        c = rolled(sidx, r)
-        base = eq0 & pos_ok & (~first | (c >= OV)) \
-            & (sidx - c > 0) & (sidx - c <= MAX_DISTANCE1)
-        x4 = (k1 ^ rolled(k1, r)).astype(jnp.uint32)
-        l4 = 4 + ((x4 < (1 << 24)).astype(jnp.int32)
-                  + (x4 < (1 << 16)).astype(jnp.int32)
-                  + (x4 < (1 << 8)).astype(jnp.int32))
-        l = jnp.where(eq, 8, l4)
-        cand = jnp.where(base, c, cand)
-        mlen = jnp.where(base, l, mlen)
 
-    # ---- sort #2: back to position order; (cand, mlen) packed in one i32
-    # (cand < 2^18, mlen-4 in [0,4] -> 3 bits) ----
-    pack = (cand << 3) | (mlen - jnp.where(mlen > 0, 4, 0))
-    pack = jnp.where(mlen > 0, pack, -1)
-    _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
-    has = pk >= 0
-    cand_p = jnp.where(has, pk >> 3, 0)
-    mlen_p = jnp.where(has, (pk & 7) + 4, 0)
-    dist_p = idx - cand_p
+    def probe(k0, k1, sidx):
+        """Radius-1..3 predecessor probe in the current sort order.  A
+        predecessor equal in both keys shares >= 8 bytes; equal in k0
+        only shares exactly 4 + lead-bytes(k1^k1') in [4,8)."""
+        pos_ok = (sidx <= ROW - EDGE)
+        cand = jnp.zeros((nrows, ROW), jnp.int32)
+        mlen = jnp.zeros((nrows, ROW), jnp.int32)
+        for r in (3, 2, 1):  # nearest radius wins
+            eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the prefix
+            eq = eq0 & (k1 == rolled(k1, r))
+            c = rolled(sidx, r)
+            # a block's first row has zero padding as left context:
+            # candidates there would be wire-invalid
+            base = eq0 & pos_ok & (~first | (c >= OV)) \
+                & (sidx - c > 0) & (sidx - c <= mdrow[:, None])
+            x4 = (k1 ^ rolled(k1, r)).astype(jnp.uint32)
+            l4 = 4 + ((x4 < (1 << 24)).astype(jnp.int32)
+                      + (x4 < (1 << 16)).astype(jnp.int32)
+                      + (x4 < (1 << 8)).astype(jnp.int32))
+            l = jnp.where(eq, 8, l4)
+            cand = jnp.where(base, c, cand)
+            mlen = jnp.where(base, l, mlen)
+        return cand, mlen
+
+    def unsort(sidx, cand, mlen):
+        """Back to position order; (cand, mlen) packed in one i32
+        (cand < 2^18, mlen-4 in [0,4] -> 3 bits)."""
+        pack = (cand << 3) | (mlen - jnp.where(mlen > 0, 4, 0))
+        pack = jnp.where(mlen > 0, pack, -1)
+        _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
+        has = pk >= 0
+        cand_p = jnp.where(has, pk >> 3, 0)
+        mlen_p = jnp.where(has, (pk & 7) + 4, 0)
+        return jnp.where(has, idx - cand_p, 0), mlen_p
+
+    # tier A — content order (nearest same-8-byte predecessors)
+    kA0, kA1, sidxA = jax.lax.sort((w0 ^ _SIGN, w1 ^ _SIGN, idx),
+                                   num_keys=2, is_stable=True)
+    distA, mlenA = unsort(sidxA, *probe(kA0, kA1, sidxA))
+    # tier B — position order within equal 4-byte prefixes (the
+    # reference's single-entry-hash match model, LZCodec.java:144-151):
+    # stable 1-key sort leaves ties in idx order; k1 rides as payload
+    kB0, sidxB, kB1 = jax.lax.sort((w0 ^ _SIGN, idx, w1 ^ _SIGN),
+                                   num_keys=1, is_stable=True)
+    distB, mlenB = unsort(sidxB, *probe(kB0, kB1, sidxB))
+
+    # merge tiers: longer wins, ties prefer the shorter distance; a len-4
+    # match is uneconomic at 3-byte distances
+    better = (mlenB > mlenA) | ((mlenB == mlenA) & (distB < distA))
+    mlen_p = jnp.where(better, mlenB, mlenA)
+    dist_p = jnp.where(better, distB, distA)
+    mlen_p = jnp.where((dist_p >= 65536) & (mlen_p <= 4), 0, mlen_p)
 
     # token region of row g = local [OV, ROW); clip match ends at the
     # row's valid-position budget (block src_end)
@@ -311,8 +332,8 @@ def _parse_stage(mlen, dist, mm: int):
     return pk >> 3, (pk & 7) + 4, dist_c, n_tok
 
 
-def _analyze(rows, vend, isfirst, mm: int):
-    mlen, dist = _match_stage(rows, vend, isfirst, mm)
+def _analyze(rows, vend, isfirst, mdrow, mm: int):
+    mlen, dist = _match_stage(rows, vend, isfirst, mdrow, mm)
     return _parse_stage(mlen, dist, mm)
 
 
@@ -374,7 +395,8 @@ def _extend_tokens_host(src: np.ndarray, p: np.ndarray, l: np.ndarray,
 
 def _block_rows(src: np.ndarray):
     """Host layout of one block: zero-left-padded buffer + overlapped row
-    view (free as_strided), per-row valid-token budgets, first-row flag."""
+    view (free as_strided), per-row valid-token budgets, first-row flag,
+    per-row distance budget (the owning block's wire distance mode)."""
     count = src.size
     nb = -(-count // STRIDE)
     buf = np.zeros(OV + nb * STRIDE, dtype=np.uint8)
@@ -385,7 +407,8 @@ def _block_rows(src: np.ndarray):
     vend = np.clip(src_end - STRIDE * np.arange(nb), 0, STRIDE)
     isfirst = np.zeros(nb, bool)
     isfirst[0] = True
-    return rows, vend.astype(np.int32), isfirst
+    mdrow = np.full(nb, _block_max_dist(count), np.int32)
+    return rows, vend.astype(np.int32), isfirst, mdrow
 
 
 GROUP_ROWS = 24  # fixed dispatch shape: XLA sort compile time grows badly
@@ -409,69 +432,18 @@ def _block_max_dist(count: int) -> int:
 
 def lzx_forward_device_batch(blocks, extra: bool = False,
                              min_match: int = 4):
-    """Batched LZX forward (v3 whole-block engine): each block is analyzed
-    as ONE padded batch row — full-block distance reach (24-bit mode for
-    blocks >= 256 KiB, matching LZCodec.java:152-153) — with same-bucket
-    blocks stacked per dispatch.  Blocks beyond MAX_FLAT use the windowed
-    row engine.  Returns a list aligned with ``blocks`` (None = skip)."""
+    """Batched LZX forward: the two-tier windowed row engine.  Blocks of
+    any size split into overlapped 256 KiB rows fed in fixed 24-row
+    groups (batching amortizes the chip's fixed per-sort latency, which a
+    whole-block-per-dispatch layout pays 5x per block); in-row distances
+    reach 256 KiB, emitted in the block's wire distance mode
+    (LZCodec.java:152-153).  The whole-block flat engine (_analyze_flat)
+    remains the mesh path, where per-shard dispatch latency amortizes
+    across chips.  Returns a list aligned with ``blocks`` (None = skip)."""
     import jax.numpy as jnp
 
     mm = min_match if min_match > 0 else 4
     blocks = [np.asarray(b, dtype=np.uint8) for b in blocks]
-    out = [None] * len(blocks)
-    big = [i for i, b in enumerate(blocks) if b.size > MAX_FLAT]
-    if big:
-        for i, r in zip(big, _lzx_rows_batch([blocks[i] for i in big], mm)):
-            out[i] = r
-    live = [i for i, b in enumerate(blocks)
-            if MIN_BLOCK_LENGTH <= b.size <= MAX_FLAT]
-    if not live:
-        return out
-
-    # group same-bucket blocks; bound one dispatch at 2^23 positions
-    fn = _analyze_flat_jit(mm)
-    by_bucket: dict[int, list[int]] = {}
-    for i in live:
-        by_bucket.setdefault(_flat_bucket(blocks[i].size), []).append(i)
-    pend = []
-    for bucket, idxs in by_bucket.items():
-        per = max(1, MAX_FLAT // bucket)
-        for g0 in range(0, len(idxs), per):
-            grp = idxs[g0:g0 + per]
-            bufs = np.zeros((len(grp), bucket), np.uint8)
-            send = np.zeros(len(grp), np.int32)
-            mdist = np.zeros(len(grp), np.int32)
-            for j, i in enumerate(grp):
-                bufs[j, :blocks[i].size] = blocks[i]
-                send[j] = blocks[i].size - 18
-                mdist[j] = _block_max_dist(blocks[i].size)
-            pend.append((grp, bucket,
-                         fn(jnp.asarray(bufs), jnp.asarray(send),
-                            jnp.asarray(mdist))))
-
-    for grp, bucket, (pos_c, mlen_c, dist_c, n_tok) in pend:
-        k = int(n_tok)
-        kpad = min(1 << max(k - 1, 1).bit_length(), pos_c.shape[0])
-        p = np.asarray(pos_c[:kpad])[:k].astype(np.int64)
-        l = np.asarray(mlen_c[:kpad])[:k].astype(np.int64)
-        d = np.asarray(dist_c[:kpad])[:k].astype(np.int64)
-        for j, i in enumerate(grp):
-            lo, hi = np.searchsorted(p, [j * bucket, (j + 1) * bucket])
-            pi, li, di = p[lo:hi] - j * bucket, l[lo:hi].copy(), d[lo:hi]
-            src = blocks[i]
-            if pi.size:
-                md = _block_max_dist(src.size)
-                out[i] = _emit_native(src, mm, pi, li, di, md)
-                if out[i] is False:  # no native library: numpy path
-                    li = _extend_tokens_host(src, pi, li, di, src.size - 18)
-                    out[i] = _emit(src, src.size, mm, md, pi, li, di)
-    return out
-
-
-def _lzx_rows_batch(blocks, mm: int):
-    """Windowed 256 KiB-row engine (v2) for blocks beyond MAX_FLAT."""
-    import jax.numpy as jnp
-
     parts = [(_block_rows(b) if b.size >= MIN_BLOCK_LENGTH else None)
              for b in blocks]
     live = [i for i, p in enumerate(parts) if p is not None]
@@ -481,6 +453,7 @@ def _lzx_rows_batch(blocks, mm: int):
     rows = np.concatenate([parts[i][0] for i in live])
     vend = np.concatenate([parts[i][1] for i in live])
     isfirst = np.concatenate([parts[i][2] for i in live])
+    mdrow = np.concatenate([parts[i][3] for i in live])
     nb = rows.shape[0]
 
     # dispatch fixed-shape groups; keep results as device arrays so groups
@@ -493,13 +466,15 @@ def _lzx_rows_batch(blocks, mm: int):
         r = rows[g0:g1]
         v = vend[g0:g1]
         f = isfirst[g0:g1]
+        m = mdrow[g0:g1]
         if bkt != g1 - g0:
             pad = bkt - (g1 - g0)
             r = np.concatenate([r, np.zeros((pad, ROW), np.uint8)])
             v = np.concatenate([v, np.zeros(pad, np.int32)])
             f = np.concatenate([f, np.ones(pad, bool)])
+            m = np.concatenate([m, np.zeros(pad, np.int32)])
         pend.append((g0, fn(jnp.asarray(r), jnp.asarray(v),
-                            jnp.asarray(f))))
+                            jnp.asarray(f), jnp.asarray(m))))
 
     ps, ls, ds = [], [], []
     for g0, (pos_c, mlen_c, dist_c, n_tok) in pend:
@@ -524,10 +499,11 @@ def _lzx_rows_batch(blocks, mm: int):
         pi, li, di = p[lo:hi] - base, l[lo:hi].copy(), d[lo:hi]
         src = blocks[i]
         if pi.size:
-            out[i] = _emit_native(src, mm, pi, li, di, MAX_DISTANCE1)
+            md = _block_max_dist(src.size)
+            out[i] = _emit_native(src, mm, pi, li, di, md)
             if out[i] is False:  # no native library: numpy path
                 li = _extend_tokens_host(src, pi, li, di, src.size - 18)
-                out[i] = _emit(src, src.size, mm, MAX_DISTANCE1, pi, li, di)
+                out[i] = _emit(src, src.size, mm, md, pi, li, di)
         base += span
     return out
 

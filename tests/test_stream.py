@@ -228,3 +228,46 @@ def test_encoder_pipelined_commit_order():
         S.encode_block = orig
     out = S.CompressedInputStream(io.BytesIO(sink.getvalue()), {"jobs": 2})
     assert out.read(-1) == data
+
+
+@pytest.mark.parametrize("level", [4, 7, 8, 9])
+def test_high_levels_multiblock_multijob_8mib(level):
+    """Real-size exercise of the ROLZ/CM/TPAQ/TPAQX paths: 8 MiB mixed
+    corpus, 4 blocks of 2 MiB, 3 jobs (the reference's random-size stream
+    sweeps, TestCompressedStream.java:57-96, at production scale)."""
+    from kanzi_tpu.app.block_compressor import LEVELS, BlockCompressor
+    from kanzi_tpu.app.block_decompressor import BlockDecompressor
+    from kanzi_tpu.utils.corpus import mixed_corpus
+
+    t, e, b = LEVELS[level]
+    data = mixed_corpus(8 << 20, seed=level).tobytes()
+    blob = BlockCompressor(transform=t, entropy=e, block_size=2 << 20,
+                           jobs=3).compress_bytes(data)
+    assert len(blob) < len(data)
+    out = BlockDecompressor(jobs=3).decompress_bytes(blob)
+    assert out == data
+
+
+def test_corrupted_payload_l7_detected():
+    """A flipped byte inside a CM-coded block payload must surface as a
+    stream error, not silent corruption (binary-coder error paths differ
+    from Huffman/ANS; reference verifies via XXHash after the inverse,
+    CompressedInputStream.java:1349-1363)."""
+    import io
+
+    from kanzi_tpu.app.block_compressor import LEVELS, BlockCompressor
+    from kanzi_tpu.core.errors import BitStreamError, IOError_
+    from kanzi_tpu.io.stream import CompressedInputStream
+    from kanzi_tpu.utils.corpus import mixed_corpus
+
+    t, e, b = LEVELS[7]
+    data = mixed_corpus(1 << 20, seed=7).tobytes()
+    bc = BlockCompressor(transform=t, entropy=e, block_size=1 << 19,
+                         jobs=1, checksum=32)
+    blob = bytearray(bc.compress_bytes(data))
+    # flip a byte well inside the first block's entropy payload
+    blob[len(blob) // 3] ^= 0x5A
+    cis = CompressedInputStream(io.BytesIO(bytes(blob)), {"jobs": 1})
+    with pytest.raises((IOError_, BitStreamError, ValueError)):
+        while cis.read(1 << 16):
+            pass
