@@ -197,12 +197,22 @@ def mesh_ans0_compress(mesh: Mesh, block: np.ndarray,
 # stream that CompressedInputStream decodes.
 
 
+import functools
+
+
 def make_l1_step(mesh: Mesh, mm: int = 4):
+    return _make_l1_step(mesh, mm)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_l1_step(mesh: Mesh, mm: int):
     """Jitted sharded LZX analyze (v3 whole-block engine): blocks
     (B, bucket) u8 with B a multiple of the mesh size shard over the
     ``blocks`` axis; returns per-shard front-compacted token arrays
     (pos, mlen, dist) — positions are SHARD-local — plus the all-gathered
-    per-shard token counts (the ordered-commit metadata)."""
+    per-shard token counts (the ordered-commit metadata).  Memoized per
+    (mesh, mm) so repeated callers share one jit cache (XLA:CPU pays a
+    large lazy kernel-codegen cost on an executable's first run)."""
     from ..ops import lz_sort as L
     axis = mesh.axis_names[0]
 
@@ -277,11 +287,14 @@ def _l1_mesh_hints(mesh, chunks, mm: int = 4, step=None):
 
 
 def mesh_l1_compress(mesh: Mesh, data: np.ndarray,
-                     block_size: int = 4 << 20, checksum: int = 0) -> bytes:
+                     block_size: int = 4 << 20, checksum: int = 0,
+                     jobs: int | None = None) -> bytes:
     """Compress ``data`` at level 1 (LZX + NONE) with the per-block
     transform stage sharded over the mesh, returning a complete v7 .knz
     stream (header, block framing, copy fallbacks, optional checksums)
-    byte-decodable by io.stream.CompressedInputStream."""
+    byte-decodable by io.stream.CompressedInputStream.  ``jobs`` bounds
+    the blocks per mesh dispatch (default: all blocks at once up to the
+    stream cap; pass the mesh size to keep per-step shapes minimal)."""
     import io as _io
 
     from ..io.stream import MAX_CONCURRENCY, CompressedOutputStream
@@ -291,8 +304,8 @@ def mesh_l1_compress(mesh: Mesh, data: np.ndarray,
     sink = _io.BytesIO()
     cos = CompressedOutputStream(sink, {
         "entropy": "NONE", "transform": "LZX", "blockSize": block_size,
-        "jobs": min(MAX_CONCURRENCY, nblocks), "checksum": checksum,
-        "fileSize": data.size})
+        "jobs": min(jobs or MAX_CONCURRENCY, MAX_CONCURRENCY, nblocks),
+        "checksum": checksum, "fileSize": data.size})
     step = make_l1_step(mesh)
     cos._lz_hint_fn = lambda chunks: _l1_mesh_hints(mesh, chunks, 4, step)
     cos.write(data.tobytes())

@@ -80,8 +80,6 @@ class ROLZCodec:
         if count < MIN_BLOCK_SIZE or count > MAX_BLOCK_SIZE:
             raise TransformSkip("ROLZ: block size out of range")
         lib = _lib()
-        if lib is None:
-            raise TransformSkip("ROLZ: native kernel unavailable")
         if self.extra:
             return self._forward_x(src, lib)
 
@@ -108,23 +106,37 @@ class ROLZCodec:
 
         spad = np.zeros(count + 16, dtype=np.uint8)
         spad[:count] = src
+        sbytes = spad.tobytes() if lib is None else None
         counters = np.zeros(65536, dtype=np.int32)
         matches = np.zeros(65536 << LOG_POS_CHECKS, dtype=np.int32)
         start = 0
         while start < src_end:
             end = min(start + CHUNK_SIZE, src_end)
             size_chunk = end - start
-            lit = np.empty(size_chunk + 64, dtype=np.uint8)
-            tk = np.empty(size_chunk // 2 + 64, dtype=np.uint8)
-            lenb = np.empty(size_chunk // 2 + 64, dtype=np.uint8)
-            midx = np.empty(size_chunk // 2 + 64, dtype=np.uint8)
-            lens = np.zeros(4, dtype=np.int64)
-            lib.kz_rolz1_forward_chunk(
-                as_u8p(spad), start, end, src_end, min_match, delta,
-                LOG_POS_CHECKS, _i32p(counters), _i32p(matches),
-                as_u8p(lit), as_u8p(tk), as_u8p(lenb), as_u8p(midx),
-                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-            nlit, ntk, nlen, nmidx = (int(x) for x in lens)
+            if lib is not None:
+                lit = np.empty(size_chunk + 64, dtype=np.uint8)
+                tk = np.empty(size_chunk // 2 + 64, dtype=np.uint8)
+                lenb = np.empty(size_chunk // 2 + 64, dtype=np.uint8)
+                midx = np.empty(size_chunk // 2 + 64, dtype=np.uint8)
+                lens = np.zeros(4, dtype=np.int64)
+                lib.kz_rolz1_forward_chunk(
+                    as_u8p(spad), start, end, src_end, min_match, delta,
+                    LOG_POS_CHECKS, _i32p(counters), _i32p(matches),
+                    as_u8p(lit), as_u8p(tk), as_u8p(lenb), as_u8p(midx),
+                    lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+                nlit, ntk, nlen, nmidx = (int(x) for x in lens)
+            else:
+                # pure-Python spec (KANZI_TPU_NO_NATIVE=1): same tokens
+                from ._rolz_py import rolz1_forward_chunk_py
+                lit_b, tk_b, lenb_b, midx_b = rolz1_forward_chunk_py(
+                    sbytes, start, end, src_end, min_match, delta,
+                    LOG_POS_CHECKS, counters, matches)
+                lit = np.frombuffer(bytes(lit_b), np.uint8)
+                tk = np.frombuffer(bytes(tk_b), np.uint8)
+                lenb = np.frombuffer(bytes(lenb_b), np.uint8)
+                midx = np.frombuffer(bytes(midx_b), np.uint8)
+                nlit, ntk, nlen, nmidx = (len(lit_b), len(tk_b),
+                                          len(lenb_b), len(midx_b))
             bw = BitWriter()
             bw.write_bits(nlit, 32)
             bw.write_bits(ntk, 32)
@@ -164,6 +176,13 @@ class ROLZCodec:
         """ROLZX: adaptive binary range coder (ROLZCodec2)."""
         count = src.size
         min_match, delta, flags = self._dt_params(src, count, True)
+        if lib is None:
+            # pure-Python spec fallback (KANZI_TPU_NO_NATIVE=1)
+            from ._rolz_py import rolz2_forward_py
+            res = rolz2_forward_py(src, min_match, delta, flags)
+            if res is None:
+                raise TransformSkip("ROLZX: no gain")
+            return res
         spad = np.zeros(count + 16, dtype=np.uint8)
         spad[:count] = src
         cap = count + (count >> 5) + 4096

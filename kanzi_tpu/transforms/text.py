@@ -45,10 +45,15 @@ class TextCodec:
         magic_found = magic.get_type(src[:4].tobytes()) != magic.NO_MAGIC
         res, dt_ord = nt.text_forward_native(src, self.codec_type, self.block_size,
                                              self.extra, magic_found)
+        if res is None and dt_ord is None:  # no native library: python spec
+            from ._text_py import text_forward_py
+            res, dt_ord = text_forward_py(src, self.codec_type,
+                                          self.block_size, self.extra,
+                                          magic_found)
         if self.ctx is not None and dt_ord is not None and dt_ord != 0:
             self.ctx["dataType"] = DataType(dt_ord)
         if res is None:
-            raise TransformSkip("TEXT: not text or native kernel unavailable")
+            raise TransformSkip("TEXT: not text")
         # v7: the header byte records which variant wrote the block
         # (TextCodec.java:496-501)
         if self.codec_type == 1:
