@@ -83,29 +83,31 @@ def bench_l1_tpu(data: np.ndarray):
     blob = run()
     e2e = data.size / (time.perf_counter() - t0) / 1e9
 
-    # device-resident analyze: rows already in HBM, tokens stay on device
-    # (the production model: payloads consumed device-side / over ICI; this
-    # box's d2h tunnel is a dev-harness artifact).  Grouped exactly like
-    # the production dispatch (fixed 24-row shapes, async pipelined).
-    parts = [L._block_rows(b) for b in blocks]
-    rows = np.concatenate([p[0] for p in parts])
-    vend = np.concatenate([p[1] for p in parts])
-    isf = np.concatenate([p[2] for p in parts])
-    mdr = np.concatenate([p[3] for p in parts])
-    G = L.GROUP_ROWS
-    nb = rows.shape[0] - rows.shape[0] % G  # whole groups only
+    # device-resident analyze: blocks already in HBM, tokens stay on
+    # device (the production model: payloads consumed device-side / over
+    # ICI; this box's d2h tunnel is a dev-harness artifact).  Grouped
+    # exactly like the production dispatch (FLAT_GROUP whole blocks per
+    # launch, async pipelined).
+    G = L.FLAT_GROUP
+    bucket = L._flat_bucket(BLOCK)
     groups = []
-    for g0 in range(0, nb, G):
-        groups.append((jnp.asarray(rows[g0:g0 + G]),
-                       jnp.asarray(vend[g0:g0 + G]),
-                       jnp.asarray(isf[g0:g0 + G]),
-                       jnp.asarray(mdr[g0:g0 + G])))
-    fn = L._analyze_jit(4)
+    for g0 in range(0, len(blocks) - len(blocks) % G, G):
+        grp = blocks[g0:g0 + G]
+        bufs = np.zeros((G, bucket), np.uint8)
+        send = np.full(G, -18, np.int32)
+        mdist = np.zeros(G, np.int32)
+        for j, b in enumerate(grp):
+            bufs[j, :b.size] = b
+            send[j] = b.size - 18
+            mdist[j] = L._block_max_dist(b.size)
+        groups.append((jnp.asarray(bufs), jnp.asarray(send),
+                       jnp.asarray(mdist)))
+    fn = L._analyze_flat_jit(4)
     _ = int(fn(*groups[0])[3])  # warm
     t0 = time.perf_counter()
     outs = [fn(*g) for g in groups]            # async pipeline
     _ = [int(o[3]) for o in outs]
-    dev = (nb * L.STRIDE) / (time.perf_counter() - t0) / 1e9
+    dev = (len(groups) * G * BLOCK) / (time.perf_counter() - t0) / 1e9
     return e2e, dev, len(blob) / data.size
 
 
@@ -236,6 +238,19 @@ def main() -> None:
                   f"at {ANS0_MB} MiB (r1 headline)", file=err)
         except Exception as e:
             print(f"secondary ans0 bench failed: {e}", file=err)
+        try:
+            from kanzi_tpu.ops.bwt_tpu import suffix_array_device
+            blk4 = data[:4 << 20]
+            _ = suffix_array_device(blk4)  # warm/compile
+            t0 = time.perf_counter()
+            _ = suffix_array_device(blk4)
+            sa_gbps = blk4.size / (time.perf_counter() - t0) / 1e9
+            print(f"secondary: device suffix array (l5 BWT stage) "
+                  f"{sa_gbps:.4f} GB/s at 4 MiB incl tunnel fetch "
+                  f"(host SA-IS 0.011 GB/s on one core of this box; "
+                  f"device gate = offload, not latency)", file=err)
+        except Exception as e:
+            print(f"secondary device-SA bench failed: {e}", file=err)
     except Exception as e:
         print(f"TPU bench failed ({e})", file=err)
     # headline: level-1 end-to-end with the fastest engine available in

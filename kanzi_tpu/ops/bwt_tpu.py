@@ -17,9 +17,16 @@ rank_k[i+k] is a static shift — elementwise, not a gather.  Each round is
 two sorts + scans inside ONE jax.lax.while_loop body (compiles once per
 shape bucket).  Text converges in ~12-16 rounds; the worst case is log2(n).
 
-Measured on v5e: ~15 ms/round at 4 Mi elements => ~0.02 GB/s for a 4 MiB
-block — ~2.5x this host's native SA-IS (and it runs on the chip, freeing
-the CPU block pool).
+Measured (round 3, this box): 1.35 s end-to-end for a 4 MiB block
+(~0.003 GB/s incl. the ~0.45 s the dev tunnel takes to fetch the 16 MiB
+SA), vs 0.011 GB/s for one host core running native/bwt.cpp's SA-IS —
+roughly host parity device-resident, NOT a clear win either way.  The
+honest value of this gate today is offload (the chip builds the SA while
+the CPU block pool does other work) and the mesh path, not single-block
+latency; the sort cost is the bound (PARITY.md measured-constraints
+table), and a fused Pallas sort is the known follow-up.  bench.py
+reports the measured rate as a secondary so this claim stays tied to a
+number.
 """
 
 from __future__ import annotations

@@ -1,37 +1,39 @@
-"""TPU LZX encode v2: batched content-sort match finder, gather-free.
+"""TPU LZX encode: batched content-sort match finder, gather-free.
 
 Redesign of ops/lz_tpu.py driven by measured TPU primitive costs (v5e):
 arbitrary gathers/scatters and sorts cost ~1-4 ns/element/operand, while
 elementwise/shift/scan ops are effectively free.  The v1 engine spent its
 time in ~70 full-block gathers (hash probing + match extension +
-pointer-doubling parse); v2 uses NO data-dependent gathers at all and
-exactly three sorts with minimal operand counts (sort time scales with the
+pointer-doubling parse); this engine uses NO data-dependent gathers and a
+handful of sorts with minimal operand counts (sort time scales with the
 number of carried arrays, so values are bit-packed into single i32s):
 
-  1. the block is cut into overlapping 256 KiB rows (192 KiB stride,
-     64 KiB context window = the format's 16-bit distance budget) stacked
-     on a batch axis; jax.lax.sort sorts rows independently in one launch
-  2. sort #1 (k0, k1, idx): rows ordered by exact 8-byte window content
-     (two big-endian int32 keys) — the nearest previous occurrence of the
-     same 8 bytes is the sorted predecessor (stable sort => ascending
-     positions within equal keys), probed at radius 1..3; byte equality is
-     guaranteed by construction, not by hash.  A predecessor equal in k0
-     only yields the exact 4..7-byte match length from the leading equal
-     bytes of k1^k1'.  Device match length is capped at 8: longer repeats
-     become chains of adjacent same-distance tokens that the emitter fuses
-     back into single long matches (lz_tpu._merge_adjacent), and the host
-     emitter can extend byte-exactly where chaining does not apply
-  3. sort #2 (idx, pack(cand,mlen)): back to position order
+  1. blocks up to MAX_FLAT stack whole on a batch axis (the flat engine,
+     the production path: candidates reach the format's full 24-bit
+     distance budget); larger blocks split into overlapping 256 KiB rows
+     (192 KiB stride, 64 KiB context window)
+  2. two tier sorts order positions by exact 8-byte window content
+     (big-endian int32 key pairs; MAX_MLEN//4 content words ride along as
+     payload) — tier A's sorted predecessor is the nearest previous
+     occurrence of the same 8 bytes, tier B's (1-key stable sort) the most
+     RECENT same-4-byte predecessor, the reference's own match model.
+     Radius-1..RADIUS probes read neighbors with rolls; byte equality is
+     guaranteed by construction, not by hash.  The first differing carried
+     word bounds the exact match length, capped at MAX_MLEN=16 (measured:
+     the cap was the ratio limiter — 0.5493/0.5316/0.5232 at 8/12/16 vs
+     the host parse's 0.5409 on the mixed corpus).  Longer repeats become
+     chains of adjacent same-distance tokens that the emitter fuses back
+     into single long matches, extended byte-exactly on the host
+  3. unsort sorts (idx, pack(cand,mlen)) return to position order
   4. exact one-step-lazy greedy parse with no serial walk: windowed
      entry-state maps composed by associative scan (see _parse_stage)
-  5. sort #3 (~kept, pack(pos,mlen), dist): compact chosen tokens to the
-     front in position order for a small device->host fetch
-  6. wire emission reuses ops/lz_tpu._emit (vectorized host numpy)
+  5. a compaction sort moves chosen tokens to the front in position order
+     for a small device->host fetch
+  6. wire emission: native/lz.cpp kz_lzx_emit_tokens (fuse+extend+emit)
 
 The output is a valid v7 LZX section stream (LZCodec.java:144-760
-semantics); distances are bounded by the 64 KiB row context so the stream
-always uses the 16-bit-distance mode byte.  The parse differs from the
-reference's serial hash-chain greedy parse; the format does not.
+semantics).  The parse differs from the reference's serial hash-chain
+greedy parse; the format does not.
 """
 
 from __future__ import annotations
@@ -47,9 +49,130 @@ MAX_DISTANCE1 = (1 << 16) - 2
 ROW = 1 << 18                 # 256 KiB rows
 STRIDE = 3 * (1 << 16)        # 192 KiB of token positions per row
 OV = ROW - STRIDE             # 64 KiB context window (max match distance)
-MAX_MLEN = 8                  # device-measured cap (chains/merge go longer)
+MAX_MLEN = 16                 # device match-length cap: 4 content words ride
+#                               the sorts.  Measured mixed-corpus ratio at
+#                               cap 8/12/16: 0.5493/0.5316/0.5232 vs host
+#                               parse 0.5409 — the cap, not candidate count,
+#                               was the ratio limiter; 16 beats the host C++
+#                               parse outright (chains/merge go longer still)
 EDGE = 16                     # no claims this close to a row end (padding)
+RADIUS = 3                    # sorted-neighborhood probe radius (both tiers);
+#                               measured: radius 4/6/8 do NOT improve the
+#                               mixed-corpus ratio over 3 (0.5493 -> 0.5494)
+#                               — candidate count is not the ratio limiter,
+#                               the match-length cap is (see MAX_MLEN)
 _SIGN = np.int32(-0x80000000)  # two's-complement sign flip: u32 sort order
+
+
+def _mlen_bits() -> int:
+    """Bits for mlen-4 in the unsort pack (MAX_MLEN 8 -> 3, 12/16 -> 4)."""
+    return max(3, (MAX_MLEN - 4).bit_length())
+
+
+def _build_words(b, nb, n):
+    """Big-endian 4-byte content windows at offsets 0, 4, .., MAX_MLEN-4.
+    ws[0]/ws[1] are the sort keys (8-byte window); later words ride the
+    sorts as payload so probes can measure matches up to MAX_MLEN."""
+    import jax.numpy as jnp
+
+    def byte_at(k):  # b shifted left by k along the row, zero-filled
+        return jnp.concatenate(
+            [b[:, k:], jnp.zeros((nb, k), jnp.int32)], axis=1)
+
+    bs = [byte_at(k) for k in range(4)]
+    w0 = (bs[0] << 24) | (bs[1] << 16) | (bs[2] << 8) | bs[3]
+    ws = [w0]
+    for k in range(4, MAX_MLEN - 3, 4):
+        ws.append(jnp.concatenate(
+            [w0[:, k:], jnp.zeros((nb, k), jnp.int32)], axis=1))
+    return ws
+
+
+def _probe_tiers(ws, idx, mask_fn, shape):
+    """Two-tier sorted-neighborhood probe shared by the flat and windowed
+    engines.  ``ws`` are the position-order content words, ``idx`` the
+    position iota, ``mask_fn(sidx, c)`` the engine's candidate-validity
+    mask (distance budget, row edges).  Returns (dist, mlen) per tier,
+    already unsorted to position order."""
+    import jax
+    import jax.numpy as jnp
+
+    nrows, n = shape
+
+    def rolled(x, r):  # sorted predecessor at radius r (row-local shift)
+        return jnp.concatenate(
+            [jnp.zeros((nrows, r), x.dtype), x[:, :-r]], axis=1)
+
+    def probe(ws_s, sidx):
+        """Radius-1..RADIUS predecessor probe in the current sort order.
+        A predecessor equal in all words shares >= MAX_MLEN bytes; the
+        first differing word bounds the exact length via its leading
+        equal bytes (key sign flips cancel in the xor)."""
+        cand = jnp.zeros((nrows, n), jnp.int32)
+        mlen = jnp.zeros((nrows, n), jnp.int32)
+        for r in range(RADIUS, 0, -1):  # nearest radius wins
+            k0 = ws_s[0]
+            eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the prefix
+            c = rolled(sidx, r)
+            base = eq0 & mask_fn(sidx, c)
+            # exact length from the first differing word, capped MAX_MLEN
+            acc = None
+            for j in range(len(ws_s) - 1, 0, -1):
+                x = (ws_s[j] ^ rolled(ws_s[j], r)).astype(jnp.uint32)
+                lj = 4 * j + ((x < (1 << 24)).astype(jnp.int32)
+                              + (x < (1 << 16)).astype(jnp.int32)
+                              + (x < (1 << 8)).astype(jnp.int32))
+                full = 4 * (j + 1) if acc is None else acc
+                acc = jnp.where(x == 0, full, lj)
+            cand = jnp.where(base, c, cand)
+            mlen = jnp.where(base, acc, mlen)
+        return cand, mlen
+
+    bits = _mlen_bits()
+
+    def unsort(sidx, cand, mlen):
+        """Back to position order; (cand, mlen) packed in one i32
+        (cand < 2^(31-bits), mlen-4 in [0, MAX_MLEN-4])."""
+        pack = (cand << bits) | (mlen - jnp.where(mlen > 0, 4, 0))
+        pack = jnp.where(mlen > 0, pack, -1)
+        _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
+        has = pk >= 0
+        cand_p = jnp.where(has, pk >> bits, 0)
+        mlen_p = jnp.where(has, (pk & ((1 << bits) - 1)) + 4, 0)
+        return jnp.where(has, idx - cand_p, 0), mlen_p
+
+    extras = ws[2:]
+    # tier A — content order: sort by the exact 8-byte window; the sorted
+    # neighborhood holds the nearest SAME-8-BYTE predecessors (long/far
+    # matches the single-entry reference hash often evicts)
+    sa = jax.lax.sort((ws[0] ^ _SIGN, ws[1] ^ _SIGN, *extras, idx),
+                      num_keys=2, is_stable=True)
+    wsA = list(sa[:-1])
+    sidxA = sa[-1]
+    distA, mlenA = unsort(sidxA, *probe(wsA, sidxA))
+    # tier B — position order within equal 4-byte prefixes: the stable
+    # 1-key sort leaves ties in idx order, so radius probes yield the most
+    # RECENT same-4-byte predecessors — the reference's own match model
+    # (LZCodec.java:144-151 single-entry hash), which tier A's k1-ordered
+    # runs miss for short matches; lengths come from the carried words
+    sb = jax.lax.sort((ws[0] ^ _SIGN, idx, ws[1] ^ _SIGN, *extras),
+                      num_keys=1, is_stable=True)
+    wsB = [sb[0], sb[2], *sb[3:]]
+    sidxB = sb[1]
+    distB, mlenB = unsort(sidxB, *probe(wsB, sidxB))
+    return (distA, mlenA), (distB, mlenB)
+
+
+def _merge_tiers(tA, tB):
+    """Longer wins, ties prefer the shorter distance; a len-4 match is
+    uneconomic at 3-byte distances (token + 3 > the 4 literals)."""
+    import jax.numpy as jnp
+    (distA, mlenA), (distB, mlenB) = tA, tB
+    better = (mlenB > mlenA) | ((mlenB == mlenA) & (distB < distA))
+    mlen_p = jnp.where(better, mlenB, mlenA)
+    dist_p = jnp.where(better, distB, distA)
+    mlen_p = jnp.where((dist_p >= 65536) & (mlen_p <= 4), 0, mlen_p)
+    return dist_p, mlen_p
 
 
 def _match_flat(bufs, src_end, max_dist, mm: int):
@@ -60,83 +183,24 @@ def _match_flat(bufs, src_end, max_dist, mm: int):
     engine could not express and which cost it the ratio vs the host
     parse.  bufs (B, N) u8; src_end (B,) i32 = count-18 per block;
     max_dist (B,) i32 = 65534 or 2^24-2 by the reference's block-size rule.
-    Returns position-order (mlen, dist) of shape (B, N)."""
+    Returns position-order (mlen, dist) of shape (B, N).
+
+    Words of positions past src_end mix in the zero padding, but such
+    positions only ever appear as candidates c < p <= src_end, and a
+    window starting below src_end ends inside the real data."""
     import jax
     import jax.numpy as jnp
 
     nb, n = bufs.shape
-    b = bufs.astype(jnp.int32)
-
-    def byte_at(k):  # b shifted left by k along the row, zero-filled
-        return jnp.concatenate(
-            [b[:, k:], jnp.zeros((nb, k), jnp.int32)], axis=1)
-
-    bs = [byte_at(k) for k in range(4)]
-    w0 = (bs[0] << 24) | (bs[1] << 16) | (bs[2] << 8) | bs[3]
-    w1 = jnp.concatenate([w0[:, 4:], jnp.zeros((nb, 4), jnp.int32)], axis=1)
+    ws = _build_words(bufs.astype(jnp.int32), nb, n)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 1)
 
-    def rolled(x, r):  # sorted predecessor at radius r (row-local shift)
-        return jnp.concatenate(
-            [jnp.zeros((nb, r), x.dtype), x[:, :-r]], axis=1)
+    def mask_fn(sidx, c):
+        return (sidx < src_end[:, None]) & (sidx - c > 0) \
+            & (sidx - c <= max_dist[:, None])
 
-    def probe(k0, k1, sidx):
-        """Radius-1..3 predecessor probe in the current sort order.  A
-        predecessor equal in both keys shares >= 8 bytes; equal in k0 only
-        shares exactly 4 + lead-bytes(k1^k1') in [4,8) (sign flips cancel).
-        Keys of positions past src_end mix in the zero padding, but such
-        positions only ever appear as candidates c < p <= src_end, and an
-        8-byte window starting below src_end ends inside the real data."""
-        pos_ok = sidx < src_end[:, None]
-        cand = jnp.zeros((nb, n), jnp.int32)
-        mlen = jnp.zeros((nb, n), jnp.int32)
-        for r in (3, 2, 1):  # nearest radius wins
-            eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the prefix
-            eq = eq0 & (k1 == rolled(k1, r))
-            c = rolled(sidx, r)
-            base = eq0 & pos_ok & (sidx - c > 0) \
-                & (sidx - c <= max_dist[:, None])
-            x4 = (k1 ^ rolled(k1, r)).astype(jnp.uint32)
-            l4 = 4 + ((x4 < (1 << 24)).astype(jnp.int32)
-                      + (x4 < (1 << 16)).astype(jnp.int32)
-                      + (x4 < (1 << 8)).astype(jnp.int32))
-            l = jnp.where(eq, 8, l4)
-            cand = jnp.where(base, c, cand)
-            mlen = jnp.where(base, l, mlen)
-        return cand, mlen
-
-    def unsort(sidx, cand, mlen):
-        """Back to position order; (cand, mlen) packed in one i32
-        (cand < 2^23, mlen-4 in [0,4] -> 3 bits)."""
-        pack = (cand << 3) | (mlen - jnp.where(mlen > 0, 4, 0))
-        pack = jnp.where(mlen > 0, pack, -1)
-        _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
-        has = pk >= 0
-        cand_p = jnp.where(has, pk >> 3, 0)
-        mlen_p = jnp.where(has, (pk & 7) + 4, 0)
-        return jnp.where(has, idx - cand_p, 0), mlen_p
-
-    # tier A — content order: sort by the exact 8-byte window; the sorted
-    # neighborhood holds the nearest SAME-8-BYTE predecessors (long/far
-    # matches the single-entry reference hash often evicts)
-    kA0, kA1, sidxA = jax.lax.sort((w0 ^ _SIGN, w1 ^ _SIGN, idx),
-                                   num_keys=2, is_stable=True)
-    distA, mlenA = unsort(sidxA, *probe(kA0, kA1, sidxA))
-    # tier B — position order within equal 4-byte prefixes: the stable
-    # 1-key sort leaves ties in idx order, so radius probes yield the most
-    # RECENT same-4-byte predecessors — the reference's own match model
-    # (LZCodec.java:144-151 single-entry hash), which tier A's k1-ordered
-    # runs miss for short matches; lengths come from the carried k1 bytes
-    kB0, sidxB, kB1 = jax.lax.sort((w0 ^ _SIGN, idx, w1 ^ _SIGN),
-                                   num_keys=1, is_stable=True)
-    distB, mlenB = unsort(sidxB, *probe(kB0, kB1, sidxB))
-
-    # merge tiers: longer wins, ties prefer the shorter distance; a len-4
-    # match is uneconomic at 3-byte distances (token + 3 > the 4 literals)
-    better = (mlenB > mlenA) | ((mlenB == mlenA) & (distB < distA))
-    mlen_p = jnp.where(better, mlenB, mlenA)
-    dist_p = jnp.where(better, distB, distA)
-    mlen_p = jnp.where((dist_p >= 65536) & (mlen_p <= 4), 0, mlen_p)
+    tA, tB = _probe_tiers(ws, idx, mask_fn, (nb, n))
+    dist_p, mlen_p = _merge_tiers(tA, tB)
     mlen2 = jnp.minimum(mlen_p, jnp.maximum(src_end[:, None] - idx, 0))
     mlen2 = jnp.where(mlen2 >= max(mm, 4), mlen2, 0)
     return mlen2.reshape(-1), dist_p.reshape(-1)
@@ -177,76 +241,18 @@ def _match_stage(rows, vend, isfirst, mdrow, mm: int):
     import jax.numpy as jnp
 
     nrows = rows.shape[0]
-    b = rows.astype(jnp.int32)
-
-    def byte_at(k):  # b shifted left by k along the row, zero-filled
-        return jnp.concatenate(
-            [b[:, k:], jnp.zeros((nrows, k), jnp.int32)], axis=1)
-
-    bs = [byte_at(k) for k in range(4)]
-    w0 = (bs[0] << 24) | (bs[1] << 16) | (bs[2] << 8) | bs[3]
-    w1 = jnp.concatenate([w0[:, 4:], jnp.zeros((nrows, 4), jnp.int32)],
-                         axis=1)
+    ws = _build_words(rows.astype(jnp.int32), nrows, ROW)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nrows, ROW), 1)
-
-    def rolled(x, r):  # sorted predecessor at radius r (row-local shift)
-        return jnp.concatenate(
-            [jnp.zeros((nrows, r), x.dtype), x[:, :-r]], axis=1)
-
     first = isfirst[:, None]
 
-    def probe(k0, k1, sidx):
-        """Radius-1..3 predecessor probe in the current sort order.  A
-        predecessor equal in both keys shares >= 8 bytes; equal in k0
-        only shares exactly 4 + lead-bytes(k1^k1') in [4,8)."""
-        pos_ok = (sidx <= ROW - EDGE)
-        cand = jnp.zeros((nrows, ROW), jnp.int32)
-        mlen = jnp.zeros((nrows, ROW), jnp.int32)
-        for r in (3, 2, 1):  # nearest radius wins
-            eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the prefix
-            eq = eq0 & (k1 == rolled(k1, r))
-            c = rolled(sidx, r)
-            # a block's first row has zero padding as left context:
-            # candidates there would be wire-invalid
-            base = eq0 & pos_ok & (~first | (c >= OV)) \
-                & (sidx - c > 0) & (sidx - c <= mdrow[:, None])
-            x4 = (k1 ^ rolled(k1, r)).astype(jnp.uint32)
-            l4 = 4 + ((x4 < (1 << 24)).astype(jnp.int32)
-                      + (x4 < (1 << 16)).astype(jnp.int32)
-                      + (x4 < (1 << 8)).astype(jnp.int32))
-            l = jnp.where(eq, 8, l4)
-            cand = jnp.where(base, c, cand)
-            mlen = jnp.where(base, l, mlen)
-        return cand, mlen
+    def mask_fn(sidx, c):
+        # a block's first row has zero padding as left context:
+        # candidates there would be wire-invalid
+        return (sidx <= ROW - EDGE) & (~first | (c >= OV)) \
+            & (sidx - c > 0) & (sidx - c <= mdrow[:, None])
 
-    def unsort(sidx, cand, mlen):
-        """Back to position order; (cand, mlen) packed in one i32
-        (cand < 2^18, mlen-4 in [0,4] -> 3 bits)."""
-        pack = (cand << 3) | (mlen - jnp.where(mlen > 0, 4, 0))
-        pack = jnp.where(mlen > 0, pack, -1)
-        _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
-        has = pk >= 0
-        cand_p = jnp.where(has, pk >> 3, 0)
-        mlen_p = jnp.where(has, (pk & 7) + 4, 0)
-        return jnp.where(has, idx - cand_p, 0), mlen_p
-
-    # tier A — content order (nearest same-8-byte predecessors)
-    kA0, kA1, sidxA = jax.lax.sort((w0 ^ _SIGN, w1 ^ _SIGN, idx),
-                                   num_keys=2, is_stable=True)
-    distA, mlenA = unsort(sidxA, *probe(kA0, kA1, sidxA))
-    # tier B — position order within equal 4-byte prefixes (the
-    # reference's single-entry-hash match model, LZCodec.java:144-151):
-    # stable 1-key sort leaves ties in idx order; k1 rides as payload
-    kB0, sidxB, kB1 = jax.lax.sort((w0 ^ _SIGN, idx, w1 ^ _SIGN),
-                                   num_keys=1, is_stable=True)
-    distB, mlenB = unsort(sidxB, *probe(kB0, kB1, sidxB))
-
-    # merge tiers: longer wins, ties prefer the shorter distance; a len-4
-    # match is uneconomic at 3-byte distances
-    better = (mlenB > mlenA) | ((mlenB == mlenA) & (distB < distA))
-    mlen_p = jnp.where(better, mlenB, mlenA)
-    dist_p = jnp.where(better, distB, distA)
-    mlen_p = jnp.where((dist_p >= 65536) & (mlen_p <= 4), 0, mlen_p)
+    tA, tB = _probe_tiers(ws, idx, mask_fn, (nrows, ROW))
+    dist_p, mlen_p = _merge_tiers(tA, tB)
 
     # token region of row g = local [OV, ROW); clip match ends at the
     # row's valid-position budget (block src_end)
@@ -323,13 +329,14 @@ def _parse_stage(mlen, dist, mm: int):
     kept = keptT.T.reshape(-1)             # (n,) bool
 
     # ---- sort #3: compact tokens (stable: position order preserved);
-    # pos < 2^26 and mlen-4 in [0,4] pack into one i32 ----
+    # pos < 2^(31-bits) and mlen-4 in [0, MAX_MLEN-4] pack into one i32 ----
+    bits = _mlen_bits()
     pos = jax.lax.iota(jnp.int32, n)
     _, pk, dist_c = jax.lax.sort(
-        ((~kept).astype(jnp.int32), (pos << 3) | (mlen - 4), dist),
+        ((~kept).astype(jnp.int32), (pos << bits) | (mlen - 4), dist),
         num_keys=1, is_stable=True)
     n_tok = jnp.sum(kept.astype(jnp.int32))
-    return pk >> 3, (pk & 7) + 4, dist_c, n_tok
+    return pk >> bits, (pk & ((1 << bits) - 1)) + 4, dist_c, n_tok
 
 
 def _analyze(rows, vend, isfirst, mdrow, mm: int):
@@ -430,24 +437,64 @@ def _block_max_dist(count: int) -> int:
         else (1 << 24) - 2
 
 
+FLAT_GROUP = 4  # blocks per flat dispatch (bounds sort workspace in HBM)
+
+
 def lzx_forward_device_batch(blocks, extra: bool = False,
                              min_match: int = 4):
-    """Batched LZX forward: the two-tier windowed row engine.  Blocks of
-    any size split into overlapped 256 KiB rows fed in fixed 24-row
-    groups (batching amortizes the chip's fixed per-sort latency, which a
-    whole-block-per-dispatch layout pays 5x per block); in-row distances
-    reach 256 KiB, emitted in the block's wire distance mode
-    (LZCodec.java:152-153).  The whole-block flat engine (_analyze_flat)
-    remains the mesh path, where per-shard dispatch latency amortizes
-    across chips.  Returns a list aligned with ``blocks`` (None = skip)."""
+    """Batched LZX forward on the device.  Blocks up to MAX_FLAT run
+    through the whole-block flat engine in FLAT_GROUP-sized batched
+    dispatches — full wire distance budget (LZCodec.java:152-153), the
+    best measured ratio (beats the host C++ parse at MAX_MLEN=16).
+    Larger blocks fall back to the overlapped 256 KiB-row engine (in-row
+    distances only).  Returns a list aligned with ``blocks``
+    (None = skip)."""
     import jax.numpy as jnp
 
     mm = min_match if min_match > 0 else 4
     blocks = [np.asarray(b, dtype=np.uint8) for b in blocks]
-    parts = [(_block_rows(b) if b.size >= MIN_BLOCK_LENGTH else None)
+    out = [None] * len(blocks)
+    flat_live = [i for i, b in enumerate(blocks)
+                 if MIN_BLOCK_LENGTH <= b.size <= MAX_FLAT]
+    if flat_live:
+        bucket = _flat_bucket(max(blocks[i].size for i in flat_live))
+        fn = _analyze_flat_jit(mm)
+        pend = []
+        for g0 in range(0, len(flat_live), FLAT_GROUP):
+            grp = flat_live[g0:g0 + FLAT_GROUP]
+            bufs = np.zeros((FLAT_GROUP, bucket), np.uint8)
+            send = np.full(FLAT_GROUP, -18, np.int32)   # pad rows: no tokens
+            mdist = np.zeros(FLAT_GROUP, np.int32)
+            for j, i in enumerate(grp):
+                bufs[j, :blocks[i].size] = blocks[i]
+                send[j] = blocks[i].size - 18
+                mdist[j] = _block_max_dist(blocks[i].size)
+            pend.append((grp, fn(jnp.asarray(bufs), jnp.asarray(send),
+                                 jnp.asarray(mdist))))
+        for grp, (pos_c, mlen_c, dist_c, n_tok) in pend:
+            k = int(n_tok)
+            if k == 0:
+                continue
+            kpad = min(1 << max(k - 1, 1).bit_length(), pos_c.shape[0])
+            p = np.asarray(pos_c[:kpad])[:k].astype(np.int64)
+            l_ = np.asarray(mlen_c[:kpad])[:k].astype(np.int64)
+            d = np.asarray(dist_c[:kpad])[:k].astype(np.int64)
+            for j, i in enumerate(grp):
+                lo, hi = np.searchsorted(p, [j * bucket, (j + 1) * bucket])
+                pi = p[lo:hi] - j * bucket
+                li, di = l_[lo:hi].copy(), d[lo:hi]
+                if not pi.size:
+                    continue
+                src = blocks[i]
+                md = _block_max_dist(src.size)
+                res = _emit_native(src, mm, pi, li, di, md)
+                if res is False:  # no native library: numpy path
+                    li = _extend_tokens_host(src, pi, li, di, src.size - 18)
+                    res = _emit(src, src.size, mm, md, pi, li, di)
+                out[i] = res
+    parts = [(_block_rows(b) if b.size > MAX_FLAT else None)
              for b in blocks]
     live = [i for i, p in enumerate(parts) if p is not None]
-    out = [None] * len(blocks)
     if not live:
         return out
     rows = np.concatenate([parts[i][0] for i in live])
