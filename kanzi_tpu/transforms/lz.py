@@ -64,9 +64,9 @@ class LZXCodec:
                 from ..ops.lz_tpu import lzx_forward_device
                 res = lzx_forward_device(src, self.extra, min_match)
             else:
-                # v2: batched content-sort engine (ops/lz_sort): 3 sorts,
-                # no gathers, exact greedy parse; ~6x faster than v1 with
-                # the same wire format and host-parity ratios
+                # v3: batched content-sort engine (ops/lz_sort): whole-
+                # block flat dispatches, full 24-bit distances, cap-16
+                # match lengths — compresses better than the host parse
                 from ..ops.lz_sort import lzx_forward_device_v2
                 res = lzx_forward_device_v2(src, self.extra, min_match)
             if res is None:
