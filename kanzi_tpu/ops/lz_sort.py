@@ -56,6 +56,9 @@ MAX_MLEN = 16                 # device match-length cap: 4 content words ride
 #                               was the ratio limiter; 16 beats the host C++
 #                               parse outright (chains/merge go longer still)
 EDGE = 16                     # no claims this close to a row end (padding)
+TIERB_WORDS = 2               # content words carried by the tier-B sort
+#                               (0 = all MAX_MLEN//4 words); tier B serves
+#                               short recent matches, so 2 words suffice
 RADIUS = 3                    # sorted-neighborhood probe radius (both tiers);
 #                               measured: radius 4/6/8 do NOT improve the
 #                               mixed-corpus ratio over 3 (0.5493 -> 0.5494)
@@ -154,9 +157,13 @@ def _probe_tiers(ws, idx, mask_fn, shape):
     # 1-key sort leaves ties in idx order, so radius probes yield the most
     # RECENT same-4-byte predecessors — the reference's own match model
     # (LZCodec.java:144-151 single-entry hash), which tier A's k1-ordered
-    # runs miss for short matches; lengths come from the carried words
-    sb = jax.lax.sort((ws[0] ^ _SIGN, idx, ws[1] ^ _SIGN, *extras),
-                      num_keys=1, is_stable=True)
+    # runs miss for short matches.  Tier B exists for SHORT matches (long
+    # ones tier A finds), so it carries only the 8-byte window
+    # (TIERB_WORDS=2): two fewer sort operand passes, measured
+    # ratio-neutral.
+    nb_words = ws[:TIERB_WORDS] if TIERB_WORDS else ws
+    sb = jax.lax.sort((nb_words[0] ^ _SIGN, idx, nb_words[1] ^ _SIGN,
+                       *nb_words[2:]), num_keys=1, is_stable=True)
     wsB = [sb[0], sb[2], *sb[3:]]
     sidxB = sb[1]
     distB, mlenB = unsort(sidxB, *probe(wsB, sidxB))
