@@ -444,7 +444,10 @@ def _block_max_dist(count: int) -> int:
         else (1 << 24) - 2
 
 
-FLAT_GROUP = 4  # blocks per flat dispatch (bounds sort workspace in HBM)
+FLAT_GROUP = 8  # blocks per flat dispatch: measured analyze 0.040 /
+#                 0.049 / 0.048 GB/s at groups of 4 / 8 / 16 (64 MiB of
+#                 4 MiB blocks) — 8 amortizes the per-sort launch cost,
+#                 16 adds nothing; partial groups pad to a power of two
 
 
 def lzx_forward_device_batch(blocks, extra: bool = False,
@@ -469,9 +472,10 @@ def lzx_forward_device_batch(blocks, extra: bool = False,
         pend = []
         for g0 in range(0, len(flat_live), FLAT_GROUP):
             grp = flat_live[g0:g0 + FLAT_GROUP]
-            bufs = np.zeros((FLAT_GROUP, bucket), np.uint8)
-            send = np.full(FLAT_GROUP, -18, np.int32)   # pad rows: no tokens
-            mdist = np.zeros(FLAT_GROUP, np.int32)
+            gp = 1 << max(len(grp) - 1, 0).bit_length()  # pad rows pow2
+            bufs = np.zeros((gp, bucket), np.uint8)
+            send = np.full(gp, -18, np.int32)            # pad rows: no tokens
+            mdist = np.zeros(gp, np.int32)
             for j, i in enumerate(grp):
                 bufs[j, :blocks[i].size] = blocks[i]
                 send[j] = blocks[i].size - 18
