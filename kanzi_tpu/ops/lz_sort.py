@@ -224,7 +224,9 @@ def _analyze_flat_jit(mm: int):
     return jax.jit(functools.partial(_analyze_flat, mm=mm))
 
 
-MAX_FLAT = 1 << 23   # blocks beyond 8 Mi fall back to the windowed rows
+MAX_FLAT = 1 << 24   # blocks beyond 16 Mi fall back to the windowed rows
+#                      (the flat pos/cand i32 bit-packs and the dispatch
+#                      position budget both bound this; see _probe_tiers)
 
 
 def _flat_bucket(n: int) -> int:
@@ -467,22 +469,32 @@ def lzx_forward_device_batch(blocks, extra: bool = False,
     flat_live = [i for i, b in enumerate(blocks)
                  if MIN_BLOCK_LENGTH <= b.size <= MAX_FLAT]
     if flat_live:
-        bucket = _flat_bucket(max(blocks[i].size for i in flat_live))
         fn = _analyze_flat_jit(mm)
+        # group same-bucket blocks per dispatch (mixing sizes would pad
+        # small blocks to the largest bucket and pay for the padding in
+        # every sort); bound positions per dispatch (sort workspace in
+        # HBM + the i32 pos bit-pack): 64 Mi => 8 blocks at 4 MiB
+        by_bucket: dict[int, list[int]] = {}
+        for i in flat_live:
+            by_bucket.setdefault(_flat_bucket(blocks[i].size), []).append(i)
         pend = []
-        for g0 in range(0, len(flat_live), FLAT_GROUP):
-            grp = flat_live[g0:g0 + FLAT_GROUP]
-            gp = 1 << max(len(grp) - 1, 0).bit_length()  # pad rows pow2
-            bufs = np.zeros((gp, bucket), np.uint8)
-            send = np.full(gp, -18, np.int32)            # pad rows: no tokens
-            mdist = np.zeros(gp, np.int32)
-            for j, i in enumerate(grp):
-                bufs[j, :blocks[i].size] = blocks[i]
-                send[j] = blocks[i].size - 18
-                mdist[j] = _block_max_dist(blocks[i].size)
-            pend.append((grp, fn(jnp.asarray(bufs), jnp.asarray(send),
-                                 jnp.asarray(mdist))))
-        for grp, (pos_c, mlen_c, dist_c, n_tok) in pend:
+        for bucket in sorted(by_bucket):
+            idxs = by_bucket[bucket]
+            gmax = max(1, min(FLAT_GROUP, (1 << 26) // bucket))
+            for g0 in range(0, len(idxs), gmax):
+                grp = idxs[g0:g0 + gmax]
+                gp = 1 << max(len(grp) - 1, 0).bit_length()  # pad pow2
+                bufs = np.zeros((gp, bucket), np.uint8)
+                send = np.full(gp, -18, np.int32)   # pad rows: no tokens
+                mdist = np.zeros(gp, np.int32)
+                for j, i in enumerate(grp):
+                    bufs[j, :blocks[i].size] = blocks[i]
+                    send[j] = blocks[i].size - 18
+                    mdist[j] = _block_max_dist(blocks[i].size)
+                pend.append((grp, bucket,
+                             fn(jnp.asarray(bufs), jnp.asarray(send),
+                                jnp.asarray(mdist))))
+        for grp, bucket, (pos_c, mlen_c, dist_c, n_tok) in pend:
             k = int(n_tok)
             if k == 0:
                 continue
