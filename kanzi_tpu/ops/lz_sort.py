@@ -75,7 +75,10 @@ def _mlen_bits() -> int:
 def _build_words(b, nb, n):
     """Big-endian 4-byte content windows at offsets 0, 4, .., MAX_MLEN-4.
     ws[0]/ws[1] are the sort keys (8-byte window); later words ride the
-    sorts as payload so probes can measure matches up to MAX_MLEN."""
+    sorts as payload so probes can measure matches up to MAX_MLEN.
+    XLA fallback — the production path is the Pallas kernel below (the
+    shifted concats here cost ~4 ns/elem in unaligned lane relayouts,
+    measured r4; the kernel does the same shifts as VMEM rolls for ~0.1)."""
     import jax.numpy as jnp
 
     def byte_at(k):  # b shifted left by k along the row, zero-filled
@@ -91,82 +94,193 @@ def _build_words(b, nb, n):
     return ws
 
 
+_WORDS_R = 512  # sublane rows per words-kernel tile (64 Ki positions)
+
+
+def _words_kernel(main_ref, halo_ref, w0_ref, w1_ref, w2_ref, w3_ref):
+    """Byte-window word builder: one tile = (R, 128) u8 positions plus an
+    8-row halo (the next 1 KiB of the same buffer row, clamped at the row
+    end — the clamped tail only mis-words positions past src_end, which
+    the probe masks never read).  Shift-by-k in flat position order is a
+    lane roll plus a sublane carry row; all 16 shifted byte planes stay in
+    VMEM and combine into the four big-endian content words."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = main_ref.shape[1]
+    ext = jnp.concatenate([main_ref[0], halo_ref[0]],
+                          axis=0).astype(jnp.int32)      # (R+8, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
+    rows_ext = ext.shape[0]
+    bs = [ext]
+    for k in range(1, 16):
+        a = pltpu.roll(ext, 128 - k, 1)          # lane roll left by k
+        b = pltpu.roll(a, rows_ext - 1, 0)       # sublane carry row
+        bs.append(jnp.where(lane < 128 - k, a, b))
+    for j, ref in enumerate((w0_ref, w1_ref, w2_ref, w3_ref)):
+        w = ((bs[4 * j] << 24) | (bs[4 * j + 1] << 16)
+             | (bs[4 * j + 2] << 8) | bs[4 * j + 3])
+        ref[0] = w[:r]
+
+
+@functools.lru_cache(maxsize=None)
+def _words_call(nb: int, n: int, interp: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr = n // 128
+    ntiles = nr // _WORDS_R
+    nh = nr // 8
+    main = pl.BlockSpec((1, _WORDS_R, 128), lambda b, t: (b, t, 0),
+                        memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec(
+        (1, 8, 128),
+        lambda b, t: (b, jnp.minimum((t + 1) * (_WORDS_R // 8), nh - 1), 0),
+        memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, _WORDS_R, 128), lambda b, t: (b, t, 0),
+                       memory_space=pltpu.VMEM)
+
+    def call(bufs):
+        shaped = bufs.reshape(nb, nr, 128)
+        ws = pl.pallas_call(
+            _words_kernel, interpret=interp,
+            grid=(nb, ntiles),
+            in_specs=[main, halo],
+            out_specs=[out] * 4,
+            out_shape=[jax.ShapeDtypeStruct((nb, nr, 128), jnp.int32)] * 4,
+        )(shaped, shaped)
+        return [w.reshape(nb, n) for w in ws]
+    return jax.jit(call)
+
+
+def _interp_words() -> bool:
+    import os
+    return os.environ.get("KANZI_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def _build_words_u8(bufs_u8, nb, n):
+    """Dispatch: Pallas word builder on TPU-shaped inputs, XLA elsewhere."""
+    import jax
+    if n % (128 * _WORDS_R) == 0 and (
+            jax.default_backend() == "tpu" or _interp_words()):
+        return _words_call(nb, n, _interp_words())(bufs_u8)[:MAX_MLEN // 4]
+    import jax.numpy as jnp
+    return _build_words(bufs_u8.astype(jnp.int32), nb, n)
+
+
+SEG_B = 1 << 18  # tier-B scope: 256 Ki position segments.  Tier B serves
+#                  SHORT matches; restricting its candidates to the
+#                  enclosing 256 Ki segment costs +0.3% ratio on the mixed
+#                  corpus (0.5289 -> 0.5305, still well under the host
+#                  parse's 0.5365) and halves the per-element cost of its
+#                  sort+unsort (XLA sort at 256 Ki rows: 0.51x full-width,
+#                  measured r4).  Tier A stays global: windowing it to even
+#                  1 Mi ties the host ratio (0.5364) — too tight.
+
+
+def _probe_sorted(ws_s, sidx, iota, mask_fn, nrows, n):
+    """Radius-1..RADIUS predecessor probe in the current sort order.
+    A predecessor equal in all words shares >= 4*len(ws_s) bytes; the
+    first differing carried word bounds the exact match length via its
+    leading equal bytes (key sign flips cancel in the xor)."""
+    import jax.numpy as jnp
+
+    def rolled(x, r):  # sorted predecessor at radius r (row-local shift)
+        return jnp.concatenate(
+            [jnp.zeros((nrows, r), x.dtype), x[:, :-r]], axis=1)
+
+    cand = jnp.zeros((nrows, n), jnp.int32)
+    mlen = jnp.zeros((nrows, n), jnp.int32)
+    for r in range(RADIUS, 0, -1):  # nearest radius wins
+        k0 = ws_s[0]
+        eq0 = (k0 == rolled(k0, r)) & (iota >= r)  # guard the prefix
+        c = rolled(sidx, r)
+        base = eq0 & mask_fn(sidx, c)
+        # exact length from the first differing word, capped 4*len(ws_s)
+        acc = None
+        for j in range(len(ws_s) - 1, 0, -1):
+            x = (ws_s[j] ^ rolled(ws_s[j], r)).astype(jnp.uint32)
+            lj = 4 * j + ((x < (1 << 24)).astype(jnp.int32)
+                          + (x < (1 << 16)).astype(jnp.int32)
+                          + (x < (1 << 8)).astype(jnp.int32))
+            full = 4 * (j + 1) if acc is None else acc
+            acc = jnp.where(x == 0, full, lj)
+        cand = jnp.where(base, c, cand)
+        mlen = jnp.where(base, acc, mlen)
+    return cand, mlen
+
+
+def _unsort_results(sidx, cand, mlen, idx, shape):
+    """Back to position order; (cand, mlen) packed in one i32
+    (cand < 2^(31-bits), mlen-4 in [0, MAX_MLEN-4]).  The sort runs at
+    whatever row split ``sidx`` arrived in (tier B: per segment — every
+    position stays inside its segment, so segment-local unsorting is
+    exact); the result is reshaped back to ``shape``."""
+    import jax
+    import jax.numpy as jnp
+
+    bits = _mlen_bits()
+    pack = (cand << bits) | (mlen - jnp.where(mlen > 0, 4, 0))
+    pack = jnp.where(mlen > 0, pack, -1)
+    _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
+    pk = pk.reshape(shape)
+    has = pk >= 0
+    cand_p = jnp.where(has, pk >> bits, 0)
+    mlen_p = jnp.where(has, (pk & ((1 << bits) - 1)) + 4, 0)
+    return jnp.where(has, idx - cand_p, 0), mlen_p
+
+
 def _probe_tiers(ws, idx, mask_fn, shape):
     """Two-tier sorted-neighborhood probe shared by the flat and windowed
     engines.  ``ws`` are the position-order content words, ``idx`` the
-    position iota, ``mask_fn(sidx, c)`` the engine's candidate-validity
-    mask (distance budget, row edges).  Returns (dist, mlen) per tier,
+    position iota, ``mask_fn(sidx, c)`` the engine\'s candidate-validity
+    mask (distance budget, row edges) — it must broadcast over any row
+    split of its (nrows, n) shape (per-row constants are repeated when
+    tier B reshapes rows into segments).  Returns (dist, mlen) per tier,
     already unsorted to position order."""
     import jax
     import jax.numpy as jnp
 
     nrows, n = shape
 
-    def rolled(x, r):  # sorted predecessor at radius r (row-local shift)
-        return jnp.concatenate(
-            [jnp.zeros((nrows, r), x.dtype), x[:, :-r]], axis=1)
-
-    def probe(ws_s, sidx):
-        """Radius-1..RADIUS predecessor probe in the current sort order.
-        A predecessor equal in all words shares >= MAX_MLEN bytes; the
-        first differing word bounds the exact length via its leading
-        equal bytes (key sign flips cancel in the xor)."""
-        cand = jnp.zeros((nrows, n), jnp.int32)
-        mlen = jnp.zeros((nrows, n), jnp.int32)
-        for r in range(RADIUS, 0, -1):  # nearest radius wins
-            k0 = ws_s[0]
-            eq0 = (k0 == rolled(k0, r)) & (idx >= r)  # guard the prefix
-            c = rolled(sidx, r)
-            base = eq0 & mask_fn(sidx, c)
-            # exact length from the first differing word, capped MAX_MLEN
-            acc = None
-            for j in range(len(ws_s) - 1, 0, -1):
-                x = (ws_s[j] ^ rolled(ws_s[j], r)).astype(jnp.uint32)
-                lj = 4 * j + ((x < (1 << 24)).astype(jnp.int32)
-                              + (x < (1 << 16)).astype(jnp.int32)
-                              + (x < (1 << 8)).astype(jnp.int32))
-                full = 4 * (j + 1) if acc is None else acc
-                acc = jnp.where(x == 0, full, lj)
-            cand = jnp.where(base, c, cand)
-            mlen = jnp.where(base, acc, mlen)
-        return cand, mlen
-
-    bits = _mlen_bits()
-
-    def unsort(sidx, cand, mlen):
-        """Back to position order; (cand, mlen) packed in one i32
-        (cand < 2^(31-bits), mlen-4 in [0, MAX_MLEN-4])."""
-        pack = (cand << bits) | (mlen - jnp.where(mlen > 0, 4, 0))
-        pack = jnp.where(mlen > 0, pack, -1)
-        _, pk = jax.lax.sort((sidx, pack), num_keys=1, is_stable=True)
-        has = pk >= 0
-        cand_p = jnp.where(has, pk >> bits, 0)
-        mlen_p = jnp.where(has, (pk & ((1 << bits) - 1)) + 4, 0)
-        return jnp.where(has, idx - cand_p, 0), mlen_p
-
     extras = ws[2:]
-    # tier A — content order: sort by the exact 8-byte window; the sorted
-    # neighborhood holds the nearest SAME-8-BYTE predecessors (long/far
-    # matches the single-entry reference hash often evicts)
+    # tier A — content order over the FULL row: sort by the exact 8-byte
+    # window; the sorted neighborhood holds the nearest SAME-8-BYTE
+    # predecessors (long/far matches the single-entry reference hash often
+    # evicts)
     sa = jax.lax.sort((ws[0] ^ _SIGN, ws[1] ^ _SIGN, *extras, idx),
                       num_keys=2, is_stable=True)
     wsA = list(sa[:-1])
     sidxA = sa[-1]
-    distA, mlenA = unsort(sidxA, *probe(wsA, sidxA))
-    # tier B — position order within equal 4-byte prefixes: the stable
-    # 1-key sort leaves ties in idx order, so radius probes yield the most
-    # RECENT same-4-byte predecessors — the reference's own match model
-    # (LZCodec.java:144-151 single-entry hash), which tier A's k1-ordered
-    # runs miss for short matches.  Tier B exists for SHORT matches (long
-    # ones tier A finds), so it carries only the 8-byte window
-    # (TIERB_WORDS=2): two fewer sort operand passes, measured
-    # ratio-neutral.
+    candA, mlA = _probe_sorted(wsA, sidxA, idx, mask_fn, nrows, n)
+    distA, mlenA = _unsort_results(sidxA, candA, mlA, idx, (nrows, n))
+    # tier B — position order within equal 4-byte prefixes, per SEG_B
+    # segment: the stable 1-key sort leaves ties in idx order, so radius
+    # probes yield the most RECENT same-4-byte predecessors — the
+    # reference\'s own match model (LZCodec.java:144-151 single-entry
+    # hash), which tier A\'s k1-ordered runs miss for short matches.  Tier
+    # B exists for SHORT matches, so it carries only the 8-byte window
+    # (TIERB_WORDS=2) and its candidates only reach inside the enclosing
+    # segment (see SEG_B above for the measured ratio cost).
     nb_words = ws[:TIERB_WORDS] if TIERB_WORDS else ws
-    sb = jax.lax.sort((nb_words[0] ^ _SIGN, idx, nb_words[1] ^ _SIGN,
-                       *nb_words[2:]), num_keys=1, is_stable=True)
-    wsB = [sb[0], sb[2], *sb[3:]]
+    nseg = max(1, n // SEG_B)
+    segn = n // nseg
+
+    def seg(x):
+        return x.reshape(nrows * nseg, segn)
+
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (nrows * nseg, segn), 1)
+    sb = jax.lax.sort((seg(ws[0]) ^ _SIGN, seg(idx),
+                       *(seg(w) ^ _SIGN for w in nb_words[1:])),
+                      num_keys=1, is_stable=True)
+    wsB = [sb[0], *sb[2:]]
     sidxB = sb[1]
-    distB, mlenB = unsort(sidxB, *probe(wsB, sidxB))
+    candB, mlB = _probe_sorted(wsB, sidxB, iota_b, mask_fn,
+                               nrows * nseg, segn)
+    distB, mlenB = _unsort_results(sidxB, candB, mlB, idx, (nrows, n))
     return (distA, mlenA), (distB, mlenB)
 
 
@@ -199,12 +313,15 @@ def _match_flat(bufs, src_end, max_dist, mm: int):
     import jax.numpy as jnp
 
     nb, n = bufs.shape
-    ws = _build_words(bufs.astype(jnp.int32), nb, n)
+    ws = _build_words_u8(bufs, nb, n)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 1)
 
     def mask_fn(sidx, c):
-        return (sidx < src_end[:, None]) & (sidx - c > 0) \
-            & (sidx - c <= max_dist[:, None])
+        # per-row constants expanded then re-split so the mask broadcasts
+        # at tier B's per-segment row shape too
+        se = jnp.broadcast_to(src_end[:, None], (nb, n)).reshape(sidx.shape)
+        md = jnp.broadcast_to(max_dist[:, None], (nb, n)).reshape(sidx.shape)
+        return (sidx < se) & (sidx - c > 0) & (sidx - c <= md)
 
     tA, tB = _probe_tiers(ws, idx, mask_fn, (nb, n))
     dist_p, mlen_p = _merge_tiers(tA, tB)
@@ -250,15 +367,19 @@ def _match_stage(rows, vend, isfirst, mdrow, mm: int):
     import jax.numpy as jnp
 
     nrows = rows.shape[0]
-    ws = _build_words(rows.astype(jnp.int32), nrows, ROW)
+    ws = _build_words_u8(rows, nrows, ROW)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nrows, ROW), 1)
     first = isfirst[:, None]
 
     def mask_fn(sidx, c):
         # a block's first row has zero padding as left context:
-        # candidates there would be wire-invalid
-        return (sidx <= ROW - EDGE) & (~first | (c >= OV)) \
-            & (sidx - c > 0) & (sidx - c <= mdrow[:, None])
+        # candidates there would be wire-invalid.  Per-row constants are
+        # expanded then re-split (tier B probes at per-segment row shape).
+        fi = jnp.broadcast_to(first, (nrows, ROW)).reshape(sidx.shape)
+        md = jnp.broadcast_to(mdrow[:, None],
+                              (nrows, ROW)).reshape(sidx.shape)
+        return (sidx <= ROW - EDGE) & (~fi | (c >= OV)) \
+            & (sidx - c > 0) & (sidx - c <= md)
 
     tA, tB = _probe_tiers(ws, idx, mask_fn, (nrows, ROW))
     dist_p, mlen_p = _merge_tiers(tA, tB)
@@ -306,14 +427,21 @@ def _parse_stage(mlen, dist, mm: int):
 
     states = jax.lax.broadcasted_iota(jnp.int32, (nwin, SMAX), 1)
 
+    # the scans consume one WINDOW COLUMN per step; feeding them the
+    # (W, nwin) transposes lets lax.scan slice along the leading (aligned)
+    # axis — the per-step minor-dim slices of the un-transposed layout
+    # were a measured hotspot (unaligned lane slicing each step)
+    takeT = take2.T                        # (W, nwin)
+    mlT = ml2.T
+    ts = jnp.arange(W, dtype=jnp.int32)
+
     # phase A: entry->exit maps for all SMAX states
-    def stepA(p, t):
+    def stepA(p, x):
+        tk, ml, t = x
         at = p == t
-        p2 = jnp.where(at, jnp.where(take2[:, t][:, None],
-                                     t + ml2[:, t][:, None], t + 1), p)
+        p2 = jnp.where(at, jnp.where(tk[:, None], t + ml[:, None], t + 1), p)
         return p2, None
-    exit_p, _ = jax.lax.scan(stepA, states,
-                             jnp.arange(W, dtype=jnp.int32), unroll=16)
+    exit_p, _ = jax.lax.scan(stepA, states, (takeT, mlT, ts), unroll=16)
     maps = exit_p - W                      # (nwin, SMAX) in [0, MAX_MLEN]
 
     def compose(a, b):                     # out[e] = b[a[e]]
@@ -328,21 +456,27 @@ def _parse_stage(mlen, dist, mm: int):
     entry = excl[:, 0]                     # walk starts at position 0
 
     # phase B: one walk with the true entry state, emitting kept tokens
-    def stepB(p, t):
-        at = (p == t) & take2[:, t]
-        p2 = jnp.where(p == t, jnp.where(take2[:, t],
-                                         t + ml2[:, t], t + 1), p)
+    def stepB(p, x):
+        tk, ml, t = x
+        at = (p == t) & tk
+        p2 = jnp.where(p == t, jnp.where(tk, t + ml, t + 1), p)
         return p2, at
-    _, keptT = jax.lax.scan(stepB, entry,
-                            jnp.arange(W, dtype=jnp.int32), unroll=16)
+    _, keptT = jax.lax.scan(stepB, entry, (takeT, mlT, ts), unroll=16)
     kept = keptT.T.reshape(-1)             # (n,) bool
 
     # ---- sort #3: compact tokens (stable: position order preserved);
-    # pos < 2^(31-bits) and mlen-4 in [0, MAX_MLEN-4] pack into one i32 ----
+    # pos < 2^(31-bits) and mlen-4 in [0, MAX_MLEN-4] pack into one i32.
+    # Tokens are >= mm >= 4 positions apart (the walk jumps mlen >= 4), so
+    # each ALIGNED 4-group holds at most one token: a grouped max-reduce
+    # shrinks the compaction sort to n/4 elements (the full-width 3-operand
+    # sort was ~20% of the whole analyze cost). ----
     bits = _mlen_bits()
     pos = jax.lax.iota(jnp.int32, n)
+    pk_dense = jnp.where(kept, (pos << bits) | (mlen - 4), -1)
+    pk_g = jnp.max(pk_dense.reshape(-1, 4), axis=1)
+    dist_g = jnp.max(jnp.where(kept, dist, 0).reshape(-1, 4), axis=1)
     _, pk, dist_c = jax.lax.sort(
-        ((~kept).astype(jnp.int32), (pos << bits) | (mlen - 4), dist),
+        ((pk_g < 0).astype(jnp.int32), pk_g, dist_g),
         num_keys=1, is_stable=True)
     n_tok = jnp.sum(kept.astype(jnp.int32))
     return pk >> bits, (pk & ((1 << bits) - 1)) + 4, dist_c, n_tok
@@ -602,6 +736,15 @@ def _emit_native(src: np.ndarray, mm: int, p, l, d,
     pi = np.ascontiguousarray(p, np.int32)
     li = np.ascontiguousarray(l, np.int32)
     di = np.ascontiguousarray(d, np.int32)
+    # the C++ emitter trusts its tokens; a malformed device batch (e.g. a
+    # mis-sliced shard) must fail loudly here, not scribble over memory
+    src_end = src.size - 18
+    if pi.size and not (
+            np.all(np.diff(pi) >= 4) and 0 <= pi[0]
+            and pi[-1] < src_end and np.all(li >= mm)
+            and np.all(pi + li <= src_end) and np.all(di > 0)
+            and np.all(di <= np.minimum(pi, max_dist))):
+        raise ValueError("lzx emit: malformed device token batch")
 
     def _i32p(a):
         return a.ctypes.data_as(c.POINTER(c.c_int32))

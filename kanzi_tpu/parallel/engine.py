@@ -258,15 +258,20 @@ def _l1_mesh_hints(mesh, chunks, mm: int = 4, step=None):
     counts = np.asarray(counts_d)
     bps = nb // ndev                      # blocks per shard
     span = bps * bucket                   # positions per shard
+    span_out = span // 4                  # compacted token slots per shard
+    #                                       (the parse's aligned-4-group
+    #                                       reduction: <=1 token per group)
     ps, ls, ds = [], [], []
     for s in range(ndev):
         k = int(counts[s])
         if k == 0:
             continue
-        ps.append(np.asarray(pos_d[s * span:s * span + k]).astype(np.int64)
-                  + s * span)
-        ls.append(np.asarray(mlen_d[s * span:s * span + k]).astype(np.int64))
-        ds.append(np.asarray(dist_d[s * span:s * span + k]).astype(np.int64))
+        ps.append(np.asarray(
+            pos_d[s * span_out:s * span_out + k]).astype(np.int64) + s * span)
+        ls.append(np.asarray(
+            mlen_d[s * span_out:s * span_out + k]).astype(np.int64))
+        ds.append(np.asarray(
+            dist_d[s * span_out:s * span_out + k]).astype(np.int64))
     if not ps:
         return hints
     p = np.concatenate(ps)

@@ -135,3 +135,34 @@ def test_decode_inverts_encode_interpret():
         jnp.asarray(freq, jnp.int32), jnp.asarray(cum, jnp.int32))
     assert np.array_equal(np.asarray(out), chunks)
     assert np.array_equal(np.asarray(used), ne * 2)
+
+
+def test_ksort_rows_interpret():
+    """ksort_pallas (the measured-and-rejected fused bitonic sort — kept
+    as the recorded experiment, docs/kernels.md): span and cross passes
+    must still match a lexicographic reference exactly."""
+    import jax.numpy as jnp
+
+    import kanzi_tpu.ops.ksort_pallas as K
+
+    rng = np.random.default_rng(7)
+    for ls, b, n, nops, nk in [(10, 2, 1 << 9, 2, 1), (10, 1, 1 << 12, 4, 2),
+                               (11, 2, 1 << 13, 3, 2)]:
+        old = K.LS
+        K.LS = ls
+        try:
+            arrs = [rng.integers(-50, 50, (b, n)).astype(np.int32)
+                    for _ in range(nops - 1)]
+            idx = np.broadcast_to(
+                np.arange(n, dtype=np.int32), (b, n)).copy()
+            karrs = arrs[:nk - 1] + [idx] + arrs[nk - 1:]
+            got = K.ksort_rows([jnp.asarray(a) for a in karrs], nk)
+            for row in range(b):
+                order = np.lexsort(
+                    tuple([a[row] for a in karrs[:nk]][::-1]))
+                for g, a in zip(got, karrs):
+                    assert np.array_equal(np.asarray(g)[row], a[row][order])
+        finally:
+            K.LS = old
+            K._span_call.cache_clear()
+            K._cross_call.cache_clear()
