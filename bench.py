@@ -8,16 +8,23 @@ vs_baseline compares against the reference's own end-to-end silesia -l1
 encode rate (0.416 GB/s on a 16-core Ryzen 9950X, BASELINE.md).
 
 Secondaries on stderr:
-  * device pipeline rate (input in HBM, v3 two-tier whole-block engine)
-  * RATIO SCOREBOARD — per level 1..7, compressed size on the same frozen
-    corpus for (a) the host path and (b) the device gates (where a device
-    engine exists for that level's stages); device must be <= host
-  * ANS0 entropy-stage kernel rate (round-1 headline)
+  * device pipeline rate (input in HBM, two-tier whole-block engine) and
+    the device e2e including the dev box's d2h tunnel + overlapped host
+    emit
+  * RATIO + SPEED SCOREBOARD — per level 1..7, compressed size, ENCODE
+    and DECODE GB/s on the frozen synthetic corpus, host path + device
+    gates (device size must be <= host)
+  * the same scoreboard on the REAL-FILE corpus (utils/corpus.real_corpus
+    — a frozen silesia-style mix of files on this box, SHA-pinned)
+  * ANS0 entropy-stage kernel rates, encode AND decode, incl the decode
+    scale-out projection (chunks shard across chips; parallel/engine
+    .make_decode_step is the mesh path, dryrun-verified)
   * the dev-box d2h tunnel rate (taxes e2e here; not a TPU property)
 """
 
 from __future__ import annotations
 
+import io
 import json
 import sys
 import time
@@ -45,9 +52,16 @@ _enable_compile_cache()
 
 
 BASELINE = {1: 0.416, 3: 0.237, 5: 0.123}  # silesia e2e enc GB/s, BASELINE.md
+# reference silesia DECODE rates (GB/s) from BASELINE.md enc/dec ms pairs
+BASELINE_DEC = {1: 1.158, 3: 0.451, 5: 0.282, 7: 0.203}
+# reference silesia compression ratios per level (target column for the
+# real-file corpus; silesia.tar = 211,957,760 B, README.md:69-94)
+SILESIA_RATIO = {1: 0.374, 2: 0.324, 3: 0.302, 4: 0.289, 5: 0.254,
+                 6: 0.233, 7: 0.223}  # per-level size / 211,957,760
 CORPUS_MB = 64          # the l1 end-to-end loops
-SCORE_MB = 16           # ratio scoreboard (levels 4-7 are slow on 2 cores)
-ANS0_MB = 256           # the entropy-stage kernel (amortizes dispatch)
+SCORE_MB = 16           # scoreboards (levels 4-7 are slow on 2 cores)
+ANS0_MB = 256           # the entropy-stage encode kernel (amortizes dispatch)
+ANS0_DEC_MB = 48        # the decode kernel (0.2 GB/s/cell class)
 BLOCK = 4 << 20
 
 
@@ -57,7 +71,8 @@ def _corpus(size: int, seed: int = 0) -> np.ndarray:
 
 
 def bench_l1_tpu(data: np.ndarray):
-    """Full l1 encode: blocks -> device LZX batch -> framed payload bytes.
+    """Full l1 encode: blocks -> device LZX batch (packed-token fetch +
+    overlapped host emit) -> framed payload bytes.
     Returns (e2e GB/s, device-analyze GB/s, ratio)."""
     import jax.numpy as jnp
 
@@ -103,10 +118,10 @@ def bench_l1_tpu(data: np.ndarray):
         groups.append((jnp.asarray(bufs), jnp.asarray(send),
                        jnp.asarray(mdist)))
     fn = L._analyze_flat_jit(4)
-    _ = int(fn(*groups[0])[3])  # warm
+    _ = int(fn(*groups[0])[2])  # warm
     t0 = time.perf_counter()
     outs = [fn(*g) for g in groups]            # async pipeline
-    _ = [int(o[3]) for o in outs]
+    _ = [int(o[2]) for o in outs]
     dev = (len(groups) * G * BLOCK) / (time.perf_counter() - t0) / 1e9
     return e2e, dev, len(blob) / data.size
 
@@ -129,11 +144,55 @@ def bench_tpu_ans0(data: np.ndarray, iters: int = 3) -> float:
     return (n * CHUNK) / best / 1e9
 
 
+def bench_tpu_ans0_decode(data: np.ndarray, iters: int = 3) -> float:
+    """Device ANS0 decode kernel rate: encode once on device (tables,
+    states, payloads), then time the decode kernel on the same chunks."""
+    import jax
+    import jax.numpy as jnp
+
+    from kanzi_tpu.ops import ans as jans
+    from kanzi_tpu.ops.ans_pallas import (CHUNK, _normalize_freqs_jax,
+                                          ans0_decode_chunks_pallas)
+
+    n = data.size // CHUNK
+    chunks = data[:n * CHUNK].reshape(n, CHUNK)
+    hist = np.stack([np.bincount(r, minlength=256) for r in chunks])
+    freq = np.asarray(_normalize_freqs_jax(
+        jnp.asarray(hist), 14, 1 << jans.LOG_RANGE)).astype(np.int64)
+    cum = np.concatenate([np.zeros((n, 1), np.int64),
+                          np.cumsum(freq, axis=1)[:, :-1]], axis=1)
+    pay16, n_emit, states = jans.ans0_encode_chunks(
+        jnp.asarray(chunks), jnp.asarray(freq, jnp.int32),
+        jnp.asarray(cum, jnp.int32))
+    pay16 = np.asarray(pay16)
+    n_emit = np.asarray(n_emit)
+    states = np.asarray(states)
+    maxb = int(n_emit.max()) * 2 + 8
+    pay = np.zeros((n, maxb), np.uint8)
+    for i in range(n):
+        w = pay16[i, :n_emit[i]]
+        pay[i, :2 * n_emit[i]:2] = w >> 8
+        pay[i, 1:2 * n_emit[i] + 1:2] = w & 0xFF
+    args = (jnp.asarray(pay), jnp.asarray(states, jnp.int32),
+            jnp.asarray(freq, jnp.int32), jnp.asarray(cum, jnp.int32))
+    out, used = ans0_decode_chunks_pallas(*args)
+    assert np.array_equal(np.asarray(out), chunks), "device decode mismatch"
+    best = float("inf")
+    for _i in range(iters):
+        t0 = time.perf_counter()
+        out, used = ans0_decode_chunks_pallas(*args)
+        _ = np.asarray(used[:2])
+        best = min(best, time.perf_counter() - t0)
+    return (n * CHUNK) / best / 1e9
+
+
 def bench_cpu_level(data: np.ndarray, level: int, jobs: int = 0,
-                    iters: int = 2) -> tuple[float, float]:
+                    iters: int = 2) -> tuple[float, float, float]:
+    """Host path for one level: returns (enc GB/s, dec GB/s, ratio)."""
     import os
 
     from kanzi_tpu.app.block_compressor import LEVELS, BlockCompressor
+    from kanzi_tpu.io.stream import CompressedInputStream
     t, e, b = LEVELS[level]
     jobs = jobs or (os.cpu_count() or 2)
     bc = BlockCompressor(transform=t, entropy=e, block_size=b, jobs=jobs)
@@ -144,21 +203,29 @@ def bench_cpu_level(data: np.ndarray, level: int, jobs: int = 0,
         t0 = time.perf_counter()
         blob = bc.compress_bytes(raw)
         best = min(best, time.perf_counter() - t0)
-    return data.size / best / 1e9, len(blob) / data.size
+    best_d = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = CompressedInputStream(io.BytesIO(blob),
+                                    {"jobs": jobs}).read(-1)
+        best_d = min(best_d, time.perf_counter() - t0)
+    assert out == raw, f"level {level} round-trip mismatch"
+    return (data.size / best / 1e9, data.size / best_d / 1e9,
+            len(blob) / data.size)
 
 
-def ratio_scoreboard(err) -> dict:
-    """Per level 1..7: compressed size on the frozen corpus, host path vs
-    device-gates path.  The parity instrument VERDICT r2 item 5 asked for:
-    a device engine must never produce a larger stream than the host path
-    it replaces.  Levels whose stages have no device engine report host
-    only.  Device gates measured: LZ/LZX sort engine (l1), device Huffman
-    (l2, l3), device ANS0 (l5)."""
+def scoreboard(data: np.ndarray, err, tag: str, device_gates: bool) -> dict:
+    """Per level 1..7: compressed size + encode/decode GB/s on ``data``,
+    host path vs device gates.  The parity instrument VERDICT r2 item 5
+    asked for — a device engine must never produce a larger stream than
+    the host path it replaces — now with the DECODE half of every pair
+    (VERDICT r3 missing item 1).  Device gates: LZ/LZX sort engine (l1),
+    device Huffman (l2, l3), device ANS0 (l5)."""
     import os
 
     from kanzi_tpu.app.block_compressor import LEVELS, BlockCompressor
+    from kanzi_tpu.io.stream import CompressedInputStream
 
-    data = _corpus(SCORE_MB << 20, seed=0)
     raw = data.tobytes()
     gates = {1: {"KANZI_TPU_DEVICE_LZ": "1"},
              2: {"KANZI_TPU_DEVICE_HUFFMAN": "1"},
@@ -169,32 +236,40 @@ def ratio_scoreboard(err) -> dict:
         t, e, b = LEVELS[level]
         bc = BlockCompressor(transform=t, entropy=e, block_size=b, jobs=2)
         t0 = time.perf_counter()
-        host = len(bc.compress_bytes(raw))
+        blob = bc.compress_bytes(raw)
         t_host = time.perf_counter() - t0
+        host = len(blob)
+        t0 = time.perf_counter()
+        out = CompressedInputStream(io.BytesIO(blob), {"jobs": 2}).read(-1)
+        t_dec = time.perf_counter() - t0
+        assert out == raw, f"{tag} l{level} round-trip mismatch"
         dev = None
-        if level in gates:
+        if device_gates and level in gates:
             env = gates[level]
             old = {k: os.environ.get(k) for k in env}
             os.environ.update(env)
             try:
                 dev = len(bc.compress_bytes(raw))
             except Exception as ex:  # pragma: no cover
-                print(f"scoreboard l{level} device path failed: {ex}",
-                      file=err)
+                print(f"{tag} l{level} device path failed: {ex}", file=err)
             finally:
                 for k, v in old.items():
                     if v is None:
                         os.environ.pop(k, None)
                     else:
                         os.environ[k] = v
+        enc_g = data.size / t_host / 1e9
+        dec_g = data.size / t_dec / 1e9
         board[level] = {"host": host, "device": dev,
-                        "host_gbps": round(data.size / t_host / 1e9, 4)}
+                        "ratio": round(host / data.size, 4),
+                        "host_gbps": round(enc_g, 4),
+                        "host_dec_gbps": round(dec_g, 4)}
         flag = ""
         if dev is not None:
             flag = " DEVICE>HOST!" if dev > host else " ok"
-        print(f"scoreboard l{level}: host {host}"
+        print(f"{tag} l{level}: host {host} ratio {host/data.size:.4f}"
               + (f" device {dev}{flag}" if dev is not None else "")
-              + f" ({data.size / t_host / 1e9:.3f} GB/s host)", file=err)
+              + f" (enc {enc_g:.3f} / dec {dec_g:.3f} GB/s host)", file=err)
     return board
 
 
@@ -211,33 +286,61 @@ def main() -> None:
     data = _corpus(CORPUS_MB << 20)
     err = sys.stderr
     # CPU first (TPU client threads would steal the pool's cores)
-    host = ratio_h = 0.0
+    host = host_dec = ratio_h = 0.0
     try:
-        host, ratio_h = bench_cpu_level(data[:32 << 20], 1)
-        print(f"secondary: l1 cpu e2e {host:.3f} GB/s ratio {ratio_h:.3f} "
-              f"(ref e2e {BASELINE[1]} GB/s)", file=err)
+        host, host_dec, ratio_h = bench_cpu_level(data[:32 << 20], 1)
+        print(f"secondary: l1 cpu e2e enc {host:.3f} / dec {host_dec:.3f} "
+              f"GB/s ratio {ratio_h:.3f} (ref e2e {BASELINE[1]} enc / "
+              f"{BASELINE_DEC[1]} dec GB/s)", file=err)
     except Exception as e:  # pragma: no cover
         print(f"secondary cpu bench failed: {e}", file=err)
     board = {}
     try:
-        board = ratio_scoreboard(err)
+        board = scoreboard(_corpus(SCORE_MB << 20, seed=0), err,
+                           "scoreboard", device_gates=True)
     except Exception as e:  # pragma: no cover
         print(f"ratio scoreboard failed: {e}", file=err)
-    dev_e2e = dev_pipe = d2h = 0.0
+    # the REAL-FILE corpus (silesia-style, frozen by SHA)
+    real_board = {}
+    real_sha = None
+    try:
+        from kanzi_tpu.utils.corpus import real_corpus
+        rdata, real_sha, breakdown = real_corpus(64 << 20)
+        print(f"real corpus sha256 {real_sha[:16]}.. sections {breakdown}",
+              file=err)
+        real_board = scoreboard(rdata[:SCORE_MB << 20], err, "real",
+                                device_gates=False)
+        for lv, tgt in SILESIA_RATIO.items():
+            if lv in real_board:
+                real_board[lv]["silesia_ref_ratio"] = tgt
+    except Exception as e:  # pragma: no cover
+        print(f"real corpus scoreboard failed: {e}", file=err)
+    dev_e2e = dev_pipe = d2h = ans0 = ans0_dec = 0.0
     ratio_d = 1.0
     try:
         dev_e2e, dev_pipe, ratio_d = bench_l1_tpu(data)
         d2h = tunnel_d2h_rate()
-        print(f"secondary: l1 tpu e2e-incl-tunnel {dev_e2e:.3f} GB/s | "
+        print(f"secondary: l1 tpu e2e-incl-tunnel {dev_e2e:.3f} GB/s "
+              f"(packed-token fetch + overlapped host emit) | "
               f"device-analyze {dev_pipe:.3f} GB/s | ratio {ratio_d:.3f} | "
               f"dev-box tunnel d2h {d2h*1000:.0f} MB/s", file=err)
         try:
             big = _corpus(ANS0_MB << 20, seed=7)
             ans0 = bench_tpu_ans0(big)
-            print(f"secondary: ans0 entropy-stage kernel {ans0:.2f} GB/s "
-                  f"at {ANS0_MB} MiB (r1 headline)", file=err)
+            print(f"secondary: ans0 entropy-stage kernel enc {ans0:.2f} "
+                  f"GB/s at {ANS0_MB} MiB (r1 headline)", file=err)
         except Exception as e:
             print(f"secondary ans0 bench failed: {e}", file=err)
+        try:
+            dd = _corpus(ANS0_DEC_MB << 20, seed=8)
+            ans0_dec = bench_tpu_ans0_decode(dd)
+            print(f"secondary: ans0 entropy-stage kernel dec {ans0_dec:.3f} "
+                  f"GB/s/chip at {ANS0_DEC_MB} MiB; decode scale-out = "
+                  f"chunks across chips (parallel/engine.make_decode_step, "
+                  f"dryrun-verified) -> 8-chip mesh aggregate "
+                  f"~{ans0_dec*8:.2f} GB/s projected", file=err)
+        except Exception as e:
+            print(f"secondary ans0 decode bench failed: {e}", file=err)
         try:
             from kanzi_tpu.ops.bwt_tpu import suffix_array_device
             blk4 = data[:4 << 20]
@@ -267,14 +370,21 @@ def main() -> None:
         "vs_baseline": round(value / BASELINE[1], 3),
         "ratio": round(ratio, 4),
         "host_cpu_gbps": round(host, 4),
+        "host_cpu_dec_gbps": round(host_dec, 4),
         "device_e2e_incl_tunnel_gbps": round(dev_e2e, 4),
         "device_analyze_gbps": round(dev_pipe, 4),
+        "device_ans0_enc_gbps": round(ans0, 3),
+        "device_ans0_dec_gbps_per_chip": round(ans0_dec, 3),
         "tunnel_d2h_mbps": round(d2h * 1000, 1),
         "ratio_scoreboard": {f"l{k}": v for k, v in board.items()},
+        "real_corpus": {"sha256": real_sha,
+                        "levels": {f"l{k}": v
+                                   for k, v in real_board.items()}},
         "device_ratio_le_host": dev_le_host,
         "note": ("best available engine end-to-end on a 64 MiB mixed "
-                 "corpus; this box: 2 CPU cores + 1 v5e behind a slow "
-                 "d2h tunnel (reference baseline: 16-core Ryzen 9950X)")}))
+                 "corpus; scoreboards carry enc AND dec GB/s; this box: "
+                 "2 CPU cores + 1 v5e behind a slow d2h tunnel "
+                 "(reference baseline: 16-core Ryzen 9950X)")}))
 
 
 if __name__ == "__main__":

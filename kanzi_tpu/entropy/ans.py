@@ -143,7 +143,9 @@ def _lane_layout_order1(seg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 class ANSRangeEncoder:
     def __init__(self, bw: BitWriter, order: int = 0,
                  chunk_size: int = DEFAULT_ANS0_CHUNK_SIZE,
-                 log_range: int = DEFAULT_LOG_RANGE) -> None:
+                 log_range: int = DEFAULT_LOG_RANGE,
+                 ctx: dict | None = None) -> None:
+        self._ctx = ctx
         if order not in (0, 1):
             raise ValueError("ANS order must be 0 or 1")
         if not MIN_CHUNK_SIZE <= chunk_size <= MAX_CHUNK_SIZE:
@@ -161,6 +163,17 @@ class ANSRangeEncoder:
         bw = bw or self.bw
         block = np.asarray(block, dtype=np.uint8)
         count = block.size
+        mesh = (self._ctx or {}).get("_ans0_mesh")
+        if mesh is not None and self.order == 0 and count > 32:
+            # entropy stage sharded over the device mesh (the EncodingTask
+            # stage-2 fan-out); the wire is the exact ANSRangeEncoder
+            # format, appended byte-aligned (a fresh per-block writer)
+            from ..parallel import engine as _eng
+            with _eng.MESH_DISPATCH_LOCK:
+                wire = _eng.mesh_ans0_compress(mesh, block,
+                                               chunk=self._chunk_size0)
+            bw.write_bytes(wire)
+            return count
         if self._device_path(block, bw):
             return count
         from ..utils.native_coders import ans_encode_native

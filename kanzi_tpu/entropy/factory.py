@@ -55,10 +55,10 @@ def new_encoder(bw: BitWriter, ctx: dict, entropy_type: int):
         return HuffmanEncoder(bw)
     if entropy_type == ANS0_TYPE:
         from .ans import ANSRangeEncoder
-        return ANSRangeEncoder(bw, 0)
+        return ANSRangeEncoder(bw, 0, ctx=ctx)
     if entropy_type == ANS1_TYPE:
         from .ans import ANSRangeEncoder
-        return ANSRangeEncoder(bw, 1)
+        return ANSRangeEncoder(bw, 1, ctx=ctx)
     if entropy_type == RANGE_TYPE:
         from .range_codec import RangeEncoder
         return RangeEncoder(bw)

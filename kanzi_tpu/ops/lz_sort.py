@@ -72,6 +72,13 @@ def _mlen_bits() -> int:
     return max(3, (MAX_MLEN - 4).bit_length())
 
 
+def _unpack_tokens(pk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host unpack of the parse's packed (pos << bits | mlen-4) tokens."""
+    bits = _mlen_bits()
+    pk = pk.astype(np.int64)
+    return pk >> bits, (pk & ((1 << bits) - 1)) + 4
+
+
 def _build_words(b, nb, n):
     """Big-endian 4-byte content windows at offsets 0, 4, .., MAX_MLEN-4.
     ws[0]/ws[1] are the sort keys (8-byte window); later words ride the
@@ -409,8 +416,9 @@ def _parse_stage(mlen, dist, mm: int):
     Phase B re-runs the walk once with the known entry, emitting the kept
     mask.  Token values are then compacted by one small sort.
 
-    Returns (pos_c, mlen_c, dist_c, n_tok): token arrays compacted to the
-    front in position order, plus the token count.
+    Returns (pk, dist_c, n_tok): packed token arrays (pos << mlen_bits |
+    mlen-4, and distance) compacted to the front in position order, plus
+    the token count.
     """
     import jax
     import jax.numpy as jnp
@@ -479,7 +487,10 @@ def _parse_stage(mlen, dist, mm: int):
         ((pk_g < 0).astype(jnp.int32), pk_g, dist_g),
         num_keys=1, is_stable=True)
     n_tok = jnp.sum(kept.astype(jnp.int32))
-    return pk >> bits, (pk & ((1 << bits) - 1)) + 4, dist_c, n_tok
+    # tokens stay PACKED (pos << bits | mlen-4): the host fetch moves two
+    # i32 arrays instead of three (the d2h link is the e2e bottleneck on
+    # tunnel-attached dev boxes); unpack with _unpack_tokens
+    return pk, dist_c, n_tok
 
 
 def _analyze(rows, vend, isfirst, mdrow, mm: int):
@@ -628,27 +639,39 @@ def lzx_forward_device_batch(blocks, extra: bool = False,
                 pend.append((grp, bucket,
                              fn(jnp.asarray(bufs), jnp.asarray(send),
                                 jnp.asarray(mdist))))
-        for grp, bucket, (pos_c, mlen_c, dist_c, n_tok) in pend:
-            k = int(n_tok)
-            if k == 0:
-                continue
-            kpad = min(1 << max(k - 1, 1).bit_length(), pos_c.shape[0])
-            p = np.asarray(pos_c[:kpad])[:k].astype(np.int64)
-            l_ = np.asarray(mlen_c[:kpad])[:k].astype(np.int64)
-            d = np.asarray(dist_c[:kpad])[:k].astype(np.int64)
-            for j, i in enumerate(grp):
-                lo, hi = np.searchsorted(p, [j * bucket, (j + 1) * bucket])
-                pi = p[lo:hi] - j * bucket
-                li, di = l_[lo:hi].copy(), d[lo:hi]
-                if not pi.size:
+        # fetch each group's PACKED tokens (2 i32 arrays, 8 B/token over
+        # the d2h link) and emit on host worker threads while later
+        # groups' fetches proceed — the C++ emitter releases the GIL, so
+        # emit overlaps both the device analyze and the next fetch
+        import concurrent.futures as _cf
+
+        def _emit_one(i, pi, li, di):
+            src = blocks[i]
+            md = _block_max_dist(src.size)
+            res = _emit_native(src, mm, pi, li, di, md)
+            if res is False:  # no native library: numpy path
+                li = _extend_tokens_host(src, pi, li, di, src.size - 18)
+                res = _emit(src, src.size, mm, md, pi, li, di)
+            out[i] = res
+
+        with _cf.ThreadPoolExecutor(2) as pool:
+            futs = []
+            for grp, bucket, (pk_c, dist_c, n_tok) in pend:
+                k = int(n_tok)
+                if k == 0:
                     continue
-                src = blocks[i]
-                md = _block_max_dist(src.size)
-                res = _emit_native(src, mm, pi, li, di, md)
-                if res is False:  # no native library: numpy path
-                    li = _extend_tokens_host(src, pi, li, di, src.size - 18)
-                    res = _emit(src, src.size, mm, md, pi, li, di)
-                out[i] = res
+                kpad = min(1 << max(k - 1, 1).bit_length(), pk_c.shape[0])
+                p, l_ = _unpack_tokens(np.asarray(pk_c[:kpad])[:k])
+                d = np.asarray(dist_c[:kpad])[:k].astype(np.int64)
+                for j, i in enumerate(grp):
+                    lo, hi = np.searchsorted(
+                        p, [j * bucket, (j + 1) * bucket])
+                    pi = p[lo:hi] - j * bucket
+                    li, di = l_[lo:hi].copy(), d[lo:hi]
+                    if pi.size:
+                        futs.append(pool.submit(_emit_one, i, pi, li, di))
+            for f in futs:
+                f.result()
     parts = [(_block_rows(b) if b.size > MAX_FLAT else None)
              for b in blocks]
     live = [i for i, p in enumerate(parts) if p is not None]
@@ -681,14 +704,14 @@ def lzx_forward_device_batch(blocks, extra: bool = False,
                             jnp.asarray(f), jnp.asarray(m))))
 
     ps, ls, ds = [], [], []
-    for g0, (pos_c, mlen_c, dist_c, n_tok) in pend:
+    for g0, (pk_c, dist_c, n_tok) in pend:
         k = int(n_tok)
         if k == 0:
             continue
-        kpad = min(1 << max(k - 1, 1).bit_length(), pos_c.shape[0])
-        ps.append(np.asarray(pos_c[:kpad])[:k].astype(np.int64)
-                  + g0 * STRIDE)
-        ls.append(np.asarray(mlen_c[:kpad])[:k].astype(np.int64))
+        kpad = min(1 << max(k - 1, 1).bit_length(), pk_c.shape[0])
+        p, l_ = _unpack_tokens(np.asarray(pk_c[:kpad])[:k])
+        ps.append(p + g0 * STRIDE)
+        ls.append(l_)
         ds.append(np.asarray(dist_c[:kpad])[:k].astype(np.int64))
     if not ps:
         return out

@@ -75,6 +75,7 @@ def _suffix_array_doubling(src: np.ndarray) -> np.ndarray:
 class BWT:
     def __init__(self, ctx: dict | None = None) -> None:
         self.primary_indexes = [0] * 8
+        self._ctx = ctx
 
     def get_primary_index(self, n: int) -> int:
         return self.primary_indexes[n]
@@ -99,6 +100,18 @@ class BWT:
             self.primary_indexes[0] = 1
             return src.copy()
         chunks = get_bwt_chunks(n)
+        # mesh path (parallel/engine.mesh_l5_compress): suffix arrays for a
+        # whole block batch are computed sharded over the device mesh ahead
+        # of the writer's workers and keyed by (length, content hash); any
+        # correct SA yields the identical BWT, and a miss just computes
+        # locally
+        sa_map = (self._ctx or {}).get("_bwt_sa_map")
+        if sa_map:
+            from ..utils.xxhash import xxhash64
+            sa = sa_map.get((n, xxhash64(src.tobytes(), 0)))
+            if sa is not None and sa.size == n:
+                return self._assemble_forward(src, sa.astype(np.int64),
+                                              chunks)
         import os
         if os.environ.get("KANZI_TPU_DEVICE_BWT", "0") == "1" and n >= 65536:
             try:

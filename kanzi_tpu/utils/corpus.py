@@ -176,3 +176,106 @@ def mixed_corpus(size: int, seed: int = 42,
             out.append(q.pop(0))
         queues = [q for q in queues if q]
     return np.concatenate(out)[:size]
+
+
+# ---------------------------------------------------------------------------
+# realistic corpus: real files from this machine (silesia-style mix)
+# ---------------------------------------------------------------------------
+#
+# The reference's published numbers are on silesia.tar / enwik8
+# (README.md:69-115) — real text, executables, databases, XML.  No such
+# archive ships in this environment, so the closest honest instrument is a
+# frozen, deterministic concatenation of REAL files present on this box,
+# mixing the same data classes as silesia: source text, C headers, a large
+# ELF, XML, CSV table data, and dense numeric library binaries.  The bench
+# reports the corpus SHA-256 so the instrument is pinned across rounds.
+
+_REAL_SECTIONS = (
+    # (name, roots, suffixes, cap bytes)
+    ("pysrc", ("/usr/local/lib/python3.12",), (".py",), 16 << 20),
+    ("headers", ("/usr/include",), (".h", ".hpp"), 8 << 20),
+    ("elf", ("/usr/lib/x86_64-linux-gnu/libLLVM-15.so.1",), None, 16 << 20),
+    ("xml", ("/usr/share/xml", "/usr/share/gdal"), (".xml",), 6 << 20),
+    ("csv", ("/usr/share/gdal",), (".csv",), 4 << 20),
+    ("numlib", ("/opt/venv/lib/python3.12/site-packages/numpy.libs",),
+     (".so",), 8 << 20),
+    ("bin", ("/usr/bin",), None, 6 << 20),
+)
+
+
+def _collect_section(roots, suffixes, cap: int) -> np.ndarray:
+    import os
+    parts = []
+    total = 0
+    for root in roots:
+        if total >= cap:
+            break
+        if os.path.isfile(root):
+            files = [root]
+        else:
+            files = []
+            for base, dirs, names in os.walk(root):
+                dirs.sort()
+                for nm in sorted(names):
+                    if suffixes is None or nm.endswith(suffixes):
+                        files.append(os.path.join(base, nm))
+        for f in files:
+            if total >= cap:
+                break
+            try:
+                if os.path.islink(f) or not os.path.isfile(f):
+                    continue
+                with open(f, "rb") as fh:
+                    b = fh.read(cap - total)
+            except OSError:
+                continue
+            if b:
+                parts.append(np.frombuffer(b, dtype=np.uint8))
+                total += len(b)
+    if not parts:
+        return np.zeros(0, np.uint8)
+    return np.concatenate(parts)[:cap]
+
+
+_REAL_CACHE: dict[int, tuple[np.ndarray, str, dict]] = {}
+
+
+def real_corpus(size: int = 64 << 20):
+    """A frozen silesia-style corpus of real files from this machine.
+
+    Returns (data uint8[size], sha256 hex, {section: bytes-contributed}).
+    Sections are interleaved in 1 MiB extents like mixed_corpus so every
+    block of any reasonable block size sees several data classes.
+    Missing roots (other machines, CI) simply contribute nothing — the
+    SHA pins whatever mix was actually assembled.
+    """
+    import hashlib
+    if size in _REAL_CACHE:
+        return _REAL_CACHE[size]
+    parts = []
+    breakdown = {}
+    for name, roots, suffixes, cap in _REAL_SECTIONS:
+        sec = _collect_section(roots, suffixes, cap)
+        if sec.size:
+            parts.append(sec)
+            breakdown[name] = int(sec.size)
+    if not parts:  # pathological environment: fall back to the synthetic mix
+        data = mixed_corpus(size)
+        sha = hashlib.sha256(data.tobytes()).hexdigest()
+        _REAL_CACHE[size] = (data, sha, {"synthetic": size})
+        return _REAL_CACHE[size]
+    ext = 1 << 20
+    queues = [[p[i:i + ext] for i in range(0, p.size, ext)] for p in parts]
+    out = []
+    while queues:
+        for q in queues:
+            out.append(q.pop(0))
+        queues = [q for q in queues if q]
+    data = np.concatenate(out)
+    if data.size < size:  # tile deterministically if the box is too bare
+        reps = -(-size // data.size)
+        data = np.tile(data, reps)
+    data = data[:size].copy()
+    sha = hashlib.sha256(data.tobytes()).hexdigest()
+    _REAL_CACHE[size] = (data, sha, breakdown)
+    return _REAL_CACHE[size]
