@@ -39,6 +39,12 @@ class ZRLT:
         n = src.size
         if n == 0:
             return src.copy()
+        from ..utils.native_transforms import zrlt_forward_native
+        res = zrlt_forward_native(src)
+        if res is False:
+            raise TransformSkip("ZRLT would expand")
+        if res is not None:
+            return res
         starts, lengths = _runs(src)
         vals = src[starts].astype(np.int64)
         is_zero = vals == 0
@@ -98,6 +104,13 @@ class ZRLT:
         n = src.size
         if n == 0:
             return src.copy()
+        if count is not None:
+            from ..utils.native_transforms import zrlt_inverse_native
+            res = zrlt_inverse_native(src, count)
+            if res is not None:
+                if res.size < count:
+                    raise ValueError("ZRLT inverse underflow")
+                return res[:count].copy()
         s64 = src.astype(np.int64)
         is_ff = s64 == 0xFF
         consumed = np.zeros(n + 1, dtype=bool)

@@ -39,6 +39,11 @@ def _lib():
         lib.kz_lzp_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
         lib.kz_lzp_inverse.restype = c.c_int64
         lib.kz_lzp_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
+        if hasattr(lib, "kz_zrlt_forward"):
+            lib.kz_zrlt_forward.restype = c.c_int64
+            lib.kz_zrlt_forward.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
+            lib.kz_zrlt_inverse.restype = c.c_int64
+            lib.kz_zrlt_inverse.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
         i32p = c.POINTER(c.c_int32)
         lib.kz_suffix_array.restype = None
         lib.kz_suffix_array.argtypes = [u8p, i32p, c.c_int64]
@@ -245,6 +250,34 @@ def lzp_inverse_native(src: np.ndarray, count: int):
     if n < 0:
         raise ValueError("LZP inverse failed")
     return dst[:n].copy()
+
+
+def zrlt_forward_native(src: np.ndarray):
+    """Native ZRLT forward; None = no library, False = stage would expand
+    (the caller raises TransformSkip, matching the Python spec)."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "kz_zrlt_forward"):
+        return None
+    src = np.ascontiguousarray(src)
+    dst = np.empty(src.size, dtype=np.uint8)
+    n = lib.kz_zrlt_forward(as_u8p(src), src.size, as_u8p(dst), src.size)
+    if n < 0:
+        return False
+    return dst[:n].copy()
+
+
+def zrlt_inverse_native(src: np.ndarray, count: int):
+    """Native ZRLT inverse; None = no library; raises on invalid stream."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "kz_zrlt_inverse"):
+        return None
+    src = np.ascontiguousarray(src)
+    cap = max(int(count), src.size) + 64
+    dst = np.empty(cap, dtype=np.uint8)
+    n = lib.kz_zrlt_inverse(as_u8p(src), src.size, as_u8p(dst), cap)
+    if n < 0:
+        raise ValueError("ZRLT inverse: invalid stream")
+    return dst[:n]
 
 
 def sbrt_native(mode: int, src: np.ndarray, forward: bool):

@@ -198,3 +198,68 @@ EXPORT i64 kz_srt_inverse(const u8* src, i64 srcLen, u8* dst, i64 cap) {
     }
     return count;
 }
+
+// ---------------- ZRLT ----------------
+// Zero Run-Length Transform (K/transform/ZRLT.java:32-245); the Python
+// class kanzi_tpu/transforms/zrlt.py is the executable spec this mirrors.
+// forward: zero run R -> binary digits of (R+1) below the MSB, one byte
+// per bit; val 1..0xFD -> val+1; 0xFE/0xFF -> (0xFF, val-0xFE).
+
+EXPORT i64 kz_zrlt_forward(const u8* src, i64 count, u8* dst, i64 cap) {
+    i64 si = 0, di = 0;
+    while (si < count) {
+        const u8 val = src[si];
+        if (val == 0) {
+            i64 run = 1;
+            while (si + run < count && src[si + run] == 0) run++;
+            const uint64_t v = (uint64_t)run + 1;
+            int k = 63 - __builtin_clzll(v);  // floor log2 = digits below MSB
+            if (di + k > cap) return -1;      // would expand: skip stage
+            for (int j = 0; j < k; j++)
+                dst[di++] = (u8)((v >> (k - 1 - j)) & 1);
+            si += run;
+        } else if (val >= 0xFE) {
+            if (di + 2 > cap) return -1;
+            dst[di++] = 0xFF;
+            dst[di++] = (u8)(val - 0xFE);
+            si++;
+        } else {
+            if (di >= cap) return -1;
+            dst[di++] = (u8)(val + 1);
+            si++;
+        }
+    }
+    return di;
+}
+
+// inverse: maximal runs of 0/1 tokens accumulate run = 2*run + bit from
+// run=1, emitting run-1 zeros; 0xFF consumes its pair byte (even a 0/1),
+// a trailing pairless 0xFF emits nothing (ZRLT.java:198-201).
+EXPORT i64 kz_zrlt_inverse(const u8* src, i64 count, u8* dst, i64 cap) {
+    i64 si = 0, di = 0;
+    while (si < count) {
+        u8 val = src[si];
+        if (val <= 1) {
+            uint64_t run = 1;
+            while (si < count && (val = src[si]) <= 1) {
+                run = (run << 1) | val;
+                si++;
+                if (run > (1ull << 40)) return -3;  // invalid stream
+            }
+            run -= 1;
+            if ((i64)run > cap - di) return -2;
+            memset(dst + di, 0, (size_t)run);
+            di += (i64)run;
+        } else if (val == 0xFF) {
+            if (si + 1 >= count) { si = count; break; }
+            if (di >= cap) return -2;
+            dst[di++] = (u8)(0xFE + src[si + 1]);
+            si += 2;
+        } else {
+            if (di >= cap) return -2;
+            dst[di++] = (u8)(val - 1);
+            si++;
+        }
+    }
+    return di;
+}

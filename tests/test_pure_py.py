@@ -156,3 +156,45 @@ def test_no_native_cli_decode(tmp_path):
                        timeout=600)
     assert r.returncode == 0, r.stderr
     assert out.read_bytes() == data
+
+
+@pytest.mark.parametrize("kind", ["zero_heavy", "dense_small", "zeros",
+                                  "edge_vals"])
+def test_zrlt_native_matches_python(kind, monkeypatch):
+    """kz_zrlt_forward/inverse (native/transforms.cpp) must be
+    byte-identical to the Python spec (transforms/zrlt.py) in both
+    directions, including the skip-on-expansion decision."""
+    import numpy as np
+
+    import kanzi_tpu.utils.native_transforms as NT
+    from kanzi_tpu.core.types import TransformSkip
+    from kanzi_tpu.transforms.zrlt import ZRLT
+
+    if NT._lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(hash(kind) % 2**32)
+    data = {
+        "zero_heavy": np.where(rng.random(200001) < 0.75, 0,
+                               rng.integers(0, 256, 200001)),
+        "dense_small": rng.integers(0, 6, 65536),
+        "zeros": np.zeros(70000, np.int64),
+        "edge_vals": np.array([0] * 777 + [254, 255, 1, 0, 0, 3, 255]),
+    }[kind].astype(np.uint8)
+    z = ZRLT()
+
+    def run(force_py):
+        monkeypatch.setattr(NT, "_FORCE_PY", force_py)
+        try:
+            fwd = z.forward(data)
+        except TransformSkip:
+            return None, None
+        return fwd, z.inverse(fwd, data.size)
+
+    fwd_n, inv_n = run(False)
+    fwd_p, inv_p = run(True)
+    if fwd_n is None:
+        assert fwd_p is None
+        return
+    assert np.array_equal(fwd_n, fwd_p)
+    assert np.array_equal(inv_n, data)
+    assert np.array_equal(inv_p, data)
