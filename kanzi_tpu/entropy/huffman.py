@@ -503,12 +503,19 @@ class HuffmanDecoder:
 
     def _decode_chunk(self, out: np.ndarray, start: int, sz: int,
                       br: BitReader) -> None:
+        from ..utils.native_coders import huffman_decode_native
         sym_lut, len_lut = self._build_luts()
         sz_bits = [eu.read_varint(br) for _ in range(4)]
         frag = sz // 4
         for j in range(4):
-            bits = br.read_bit_array(sz_bits[j])
-            syms, end_pos = _chain_decode(bits, frag, sym_lut, len_lut)
+            packed = br.read_packed(sz_bits[j])
+            res = huffman_decode_native(packed, sz_bits[j], frag,
+                                        sym_lut, len_lut)
+            if res is not None:
+                syms, end_pos = res
+            else:  # no library: unpack for the numpy chain decode
+                bits = np.unpackbits(packed)[:sz_bits[j]]
+                syms, end_pos = _chain_decode(bits, frag, sym_lut, len_lut)
             if end_pos != sz_bits[j]:
                 raise BitStreamError("Huffman stream length mismatch",
                                      BitStreamError.INVALID_STREAM)

@@ -174,3 +174,35 @@ def tpaq_decode_native(dec, count, br, extra: bool, block_size: int, size: int):
         return None
     return _run_decode(lib.kz_tpaq_decode, (1 if extra else 0, block_size, size),
                        count, br)
+
+
+_HUF_SIG = False
+
+
+def huffman_decode_native(packed: np.ndarray, nbits: int, nsym: int,
+                          sym_lut: np.ndarray, len_lut: np.ndarray):
+    """Native canonical-Huffman stream decode (native/huffman.cpp
+    kz_huffman_decode).  Returns (symbols u8[nsym], end_bit_pos) or None
+    when the library is unavailable."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "kz_huffman_decode"):
+        return None
+    global _HUF_SIG
+    import ctypes as c
+    u8p = c.POINTER(c.c_uint8)
+    if not _HUF_SIG:
+        lib.kz_huffman_decode.restype = c.c_int64
+        lib.kz_huffman_decode.argtypes = [u8p, c.c_int64, c.c_int64,
+                                          u8p, u8p, u8p]
+        _HUF_SIG = True
+
+    def p(a):
+        return a.ctypes.data_as(u8p)
+
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    sl = np.ascontiguousarray(sym_lut, dtype=np.uint8)
+    ll = np.ascontiguousarray(len_lut, dtype=np.uint8)
+    out = np.empty(max(int(nsym), 1), dtype=np.uint8)
+    end = lib.kz_huffman_decode(p(packed), int(nbits), int(nsym),
+                                p(sl), p(ll), p(out))
+    return out[:nsym], int(end)

@@ -236,3 +236,28 @@ EXPORT int huffman_build_tables(const int64_t* hists, int n_chunks,
     }
     return 0;
 }
+
+// ---------------- canonical-table decode (HuffmanDecoder.java:213-345) ----
+// 12-bit MSB-first window per symbol: sym = sym_lut[w], advance len_lut[w]
+// bits (clamped to >= 1 so corrupt tables cannot loop).  Returns the final
+// bit position; the caller checks it equals the declared stream size.
+
+EXPORT int64_t kz_huffman_decode(const uint8_t* pay, int64_t nbits,
+                                 int64_t nsym, const uint8_t* sym_lut,
+                                 const uint8_t* len_lut, uint8_t* out) {
+    const int64_t nbytes = (nbits + 7) >> 3;
+    int64_t pos = 0;
+    for (int64_t i = 0; i < nsym; i++) {
+        const int64_t byte = pos >> 3;
+        const int off = (int)(pos & 7);
+        const uint32_t b0 = byte < nbytes ? pay[byte] : 0;
+        const uint32_t b1 = byte + 1 < nbytes ? pay[byte + 1] : 0;
+        const uint32_t b2 = byte + 2 < nbytes ? pay[byte + 2] : 0;
+        const uint32_t w = (((b0 << 16) | (b1 << 8) | b2) >> (12 - off))
+                           & 0xFFF;
+        out[i] = sym_lut[w];
+        const int ln = len_lut[w];
+        pos += ln ? ln : 1;
+    }
+    return pos;
+}
