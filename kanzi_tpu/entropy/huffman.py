@@ -468,6 +468,14 @@ class HuffmanDecoder:
                 start += sz
             return out
         device_q = [] if _use_device_decode(count, self.chunk_size) else None
+        if device_q is None:
+            # whole-block native fast path: all chunk headers + canonical
+            # tables + 4-stream interleaved decode in one C++ call
+            # (HuffmanDecoder.java:213-345 ILP shape)
+            from ..utils.native_coders import huffman_block_decode_native
+            res = huffman_block_decode_native(br, count, self.chunk_size)
+            if res is not None:
+                return res
         while start < count:
             sz = min(self.chunk_size, count - start)
             if sz < 32:

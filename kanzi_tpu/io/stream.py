@@ -739,7 +739,12 @@ class CompressedInputStream:
     def _decode_job(self, framed):
         bid, payload, nbits = framed
         ctx = dict(self.ctx)
-        ctx["jobs"] = 1
+        # fair split of the thread budget over concurrently-decoding blocks
+        # (the reference threads the remaining jobs into each task's ctx so
+        # a lone big block still multi-threads its BWT inversion while many
+        # blocks in flight get one core each — CompressedInputStream.java
+        # ctx plumbing + BWT.java:568-674)
+        ctx["jobs"] = max(1, self.jobs // max(1, len(self._inflight) or 1))
         return decode_block(payload, nbits, self.transform_type,
                             self.entropy_type, self.block_size, ctx,
                             self.listeners, bid)

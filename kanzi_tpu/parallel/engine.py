@@ -248,9 +248,11 @@ def mesh_ans0_decompress(mesh: Mesh, wire: bytes, count: int,
             raise BitStreamError("mesh decode: non-default log range",
                                  BitStreamError.INVALID_STREAM)
         alpha, freqs = hans._read_freqs_header(br, lr)
-        if len(alpha) <= 1:
-            out[i * chunk:(i + 1) * chunk] = \
-                int(alpha[0]) if len(alpha) else 0
+        if len(alpha) == 0:
+            raise BitStreamError("empty ANS alphabet",
+                                 BitStreamError.INVALID_STREAM)
+        if len(alpha) == 1:
+            out[i * chunk:(i + 1) * chunk] = int(alpha[0])
             continue
         sz = eu.read_varint(br)
         if sz >= hans.MAX_CHUNK_SIZE:
@@ -303,10 +305,12 @@ MESH_DISPATCH_LOCK = threading.Lock()
 @functools.lru_cache(maxsize=None)
 def make_sa_step(mesh: Mesh, npad: int):
     """Sharded suffix-array stage (the level-5 BWT forward's heavy part):
-    a batch of zero-left-padded blocks (rows of ``npad``) shards over the
-    ``blocks`` axis; every device runs the prefix-doubling SA
-    (ops/bwt_tpu) on its shard.  Any correct SA produces the identical
-    BWT, so the wire does not depend on which engine built it."""
+    a batch of zero-right-padded blocks (rows of ``npad``, data first, pad
+    zeros after — pad suffixes sort first, so the real positions are the
+    LAST n SA entries) shards over the ``blocks`` axis; every device runs
+    the prefix-doubling SA (ops/bwt_tpu) on its shard.  Any correct SA
+    produces the identical BWT, so the wire does not depend on which
+    engine built it."""
     from ..ops import bwt_tpu
     axis = mesh.axis_names[0]
     run = bwt_tpu._sa_jit(npad)

@@ -161,7 +161,12 @@ class BWT:
         if n == 1:
             return src.copy()
         chunks = get_bwt_chunks(n)
-        res = nt.bwt_inverse_native(src, self.primary_indexes, chunks)
+        # the 8-chain walk threads up to the ctx job budget (the stream
+        # layer leaves 1 when blocks already saturate the cores, more when
+        # a lone block has the machine to itself — BWT.java:568-674)
+        jobs = int((self._ctx or {}).get("jobs", 0)) or 0
+        res = nt.bwt_inverse_native(src, self.primary_indexes, chunks,
+                                    jobs=jobs)
         if res is not None:
             return res
         return self._inverse_numpy(src, chunks)

@@ -104,13 +104,14 @@ class ZRLT:
         n = src.size
         if n == 0:
             return src.copy()
-        if count is not None:
-            from ..utils.native_transforms import zrlt_inverse_native
-            res = zrlt_inverse_native(src, count)
-            if res is not None:
+        from ..utils.native_transforms import zrlt_inverse_native
+        res = zrlt_inverse_native(src, count)
+        if res is not None:
+            if count is not None:
                 if res.size < count:
                     raise ValueError("ZRLT inverse underflow")
                 return res[:count].copy()
+            return res.copy()
         s64 = src.astype(np.int64)
         is_ff = s64 == 0xFF
         consumed = np.zeros(n + 1, dtype=bool)

@@ -206,3 +206,42 @@ def huffman_decode_native(packed: np.ndarray, nbits: int, nsym: int,
     end = lib.kz_huffman_decode(p(packed), int(nbits), int(nsym),
                                 p(sl), p(ll), p(out))
     return out[:nsym], int(end)
+
+
+_HUF_BLK_SIG = False
+
+
+def huffman_block_decode_native(br, count: int, chunk_size: int):
+    """Native whole-block Huffman decode (native/huffman.cpp
+    kz_huffman_block_decode): all chunk headers, canonical tables and the
+    4 interleaved streams in one call, advancing ``br`` past the payload.
+    Returns the decoded u8[count] or None when unavailable; raises
+    BitStreamError / EOFError exactly like the Python per-chunk path."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "kz_huffman_block_decode"):
+        return None
+    global _HUF_BLK_SIG
+    import ctypes as c
+    u8p = c.POINTER(c.c_uint8)
+    if not _HUF_BLK_SIG:
+        lib.kz_huffman_block_decode.restype = c.c_int64
+        lib.kz_huffman_block_decode.argtypes = [u8p, c.c_int64, c.c_int64,
+                                                c.c_int64, c.c_int64, u8p]
+        _HUF_BLK_SIG = True
+    data = br._data
+    # the 12-bit lookahead window needs 8 readable bytes past the payload
+    pad = np.zeros(data.size + 8, dtype=np.uint8)
+    pad[:data.size] = data
+    out = np.empty(max(int(count), 1), dtype=np.uint8)
+    end = lib.kz_huffman_block_decode(
+        pad.ctypes.data_as(u8p), int(br._nbits), int(br.read_count),
+        int(count), int(chunk_size), out.ctypes.data_as(u8p))
+    if end == -3:
+        raise EOFError("bitstream exhausted")
+    if end < 0:
+        from ..core.errors import BitStreamError
+        raise BitStreamError(
+            "Huffman stream length mismatch" if end == -2
+            else "invalid Huffman table", BitStreamError.INVALID_STREAM)
+    br.seek(int(end))
+    return out[:count]

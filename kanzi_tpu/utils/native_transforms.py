@@ -266,18 +266,26 @@ def zrlt_forward_native(src: np.ndarray):
     return dst[:n].copy()
 
 
-def zrlt_inverse_native(src: np.ndarray, count: int):
-    """Native ZRLT inverse; None = no library; raises on invalid stream."""
+def zrlt_inverse_native(src: np.ndarray, count: int | None):
+    """Native ZRLT inverse; None = no library; raises on invalid stream.
+    Works without a known output size: the kernel returns the total
+    decoded length, so an undersized first buffer triggers one exact-size
+    retry (mirrors the Python path's build-then-truncate semantics)."""
     lib = _lib()
     if lib is None or not hasattr(lib, "kz_zrlt_inverse"):
         return None
     src = np.ascontiguousarray(src)
-    cap = max(int(count), src.size) + 64
-    dst = np.empty(cap, dtype=np.uint8)
-    n = lib.kz_zrlt_inverse(as_u8p(src), src.size, as_u8p(dst), cap)
-    if n < 0:
-        raise ValueError("ZRLT inverse: invalid stream")
-    return dst[:n]
+    cap = (max(int(count), src.size) if count is not None
+           else src.size * 4) + 64
+    for _ in range(2):
+        dst = np.empty(cap, dtype=np.uint8)
+        n = lib.kz_zrlt_inverse(as_u8p(src), src.size, as_u8p(dst), cap)
+        if n < 0:
+            raise ValueError("ZRLT inverse: invalid stream")
+        if n <= cap:
+            return dst[:n]
+        cap = n  # exact retry
+    raise ValueError("ZRLT inverse: buffer sizing failed")
 
 
 def sbrt_native(mode: int, src: np.ndarray, forward: bool):

@@ -188,10 +188,11 @@ EXPORT i64 kz_bwt_forward(const u8* src, u8* dst, i64 n, i32* indexes, i32 idxCo
     return pIdx + 1;
 }
 
-// Inverse BWT (mergeTPSI; u32 packing for small blocks, u64 above 2^24).
+// Inverse BWT (mergeTPSI; u32 packing for blocks up to 2^24, u40 above).
 // chunks must match BWT.getBWTChunks(n) (1 if n < 256 else 8).
 template <typename PK>
-static bool bwt_inverse_impl(const u8* src, u8* dst, i64 n, const i32* indexes, i32 chunks) {
+static bool bwt_inverse_impl(const u8* src, u8* dst, i64 n, const i32* indexes,
+                             i32 chunks, i32 jobs) {
     const i64 pIdx = indexes[0];
     if (pIdx <= 0 || pIdx > n) return false;
     std::vector<PK> data(n);
@@ -219,29 +220,46 @@ static bool bwt_inverse_impl(const u8* src, u8* dst, i64 n, const i32* indexes, 
             dst[i] = (u8)ptr;
             t = (i64)(ptr >> 8);
         }
+        return true;
+    }
+    const i64 ckSize = ((n & 7) == 0) ? n >> 3 : (n >> 3) + 1;
+    i64 t0[8];
+    for (i32 k = 0; k < 8; k++) {
+        t0[k] = (i64)indexes[k] - 1;
+        if (t0[k] < 0 || t0[k] >= n) return false;
+    }
+    // interleave each worker's chains (memory-level parallelism within a
+    // thread, thread-level parallelism across cores — BWT.java:568-674)
+    auto walk = [&](i32 kfirst, i32 kstep) {
+        i64 t[8], len[8];
+        i32 nc = 0;
+        for (i32 k = kfirst; k < 8; k += kstep) {
+            t[nc] = t0[k];
+            len[nc] = (k < 7) ? ckSize : n - ckSize * 7;
+            nc++;
+        }
+        for (i64 m = 0; ; m++) {
+            bool any = false;
+            i32 c = 0;
+            for (i32 k = kfirst; k < 8; k += kstep, c++) {
+                if (m >= len[c]) continue;
+                any = true;
+                const PK ptr = data[t[c]];
+                dst[m + ckSize * k] = (u8)ptr;
+                t[c] = (i64)(ptr >> 8);
+            }
+            if (!any) break;
+        }
+    };
+    if (jobs <= 1) {
+        walk(0, 1);
     } else {
-        const i64 ckSize = ((n & 7) == 0) ? n >> 3 : (n >> 3) + 1;
-        i64 t[8];
-        for (i32 k = 0; k < 8; k++) {
-            t[k] = (i64)indexes[k] - 1;
-            if (t[k] < 0 || t[k] >= n) return false;
-        }
-        const i64 end = n - ckSize * 7;
-        i64 m = 0;
-        for (; m < end; m++) {
-            for (i32 k = 0; k < 8; k++) {
-                const PK ptr = data[t[k]];
-                dst[m + ckSize * k] = (u8)ptr;
-                t[k] = (i64)(ptr >> 8);
-            }
-        }
-        for (; m < ckSize; m++) {
-            for (i32 k = 0; k < 7; k++) {
-                const PK ptr = data[t[k]];
-                dst[m + ckSize * k] = (u8)ptr;
-                t[k] = (i64)(ptr >> 8);
-            }
-        }
+        if (jobs > 8) jobs = 8;
+        std::vector<std::thread> ths;
+        for (i32 j = 1; j < jobs; j++)
+            ths.emplace_back(walk, j, jobs);
+        walk(0, jobs);
+        for (auto& th : ths) th.join();
     }
     return true;
 }
@@ -399,8 +417,8 @@ EXPORT i32 kz_bwt_inverse_mt(const u8* src, u8* dst, i64 n,
     if (n == 0) return 1;
     if (n == 1) { dst[0] = src[0]; return 1; }
     bool ok;
-    if (n < (1 << 24))
-        ok = bwt_inverse_impl<u32>(src, dst, n, indexes, chunks);
+    if (n <= ((i64)1 << 24))   // u32 packs (idx<<8)|val for idx <= 2^24-1
+        ok = bwt_inverse_impl<u32>(src, dst, n, indexes, chunks, jobs);
     else
         ok = bwt_inverse_big(src, dst, n, indexes, chunks, jobs);
     return ok ? 1 : 0;

@@ -105,17 +105,19 @@ struct CMPred {
             for (int j = 0; j < 16; j++) counter2[i * 17 + j] = j << 12;
             counter2[i * 17 + 16] = 65535;
         }
+        pc1 = counter1.data();
+        pc2 = counter2.data();
     }
+    i32* pc1;  // row pointers computed in get(), reused by update()
+    i32* pc2;
     inline i32 get() {
-        i32* pc1 = &counter1[ctx * 257];
+        pc1 = &counter1[ctx * 257];
         const i32 p = (13 * (pc1[256] + pc1[c1]) + 6 * pc1[c2]) >> 5;
         idx = (u32)p >> 12;
-        i32* pc2 = &counter2[(ctx | runMask) * 17];
+        pc2 = &counter2[(ctx | runMask) * 17];
         return (p + p + 3 * (pc2[idx] + pc2[idx + 1]) + 64) >> 7;
     }
     inline void update(i32 bit) {
-        i32* pc1 = &counter1[ctx * 257];
-        i32* pc2 = &counter2[(ctx | runMask) * 17];
         if (bit == 0) {
             pc1[256] -= (pc1[256] >> 2);
             pc1[c1] -= (pc1[c1] >> 4);

@@ -261,3 +261,201 @@ EXPORT int64_t kz_huffman_decode(const uint8_t* pay, int64_t nbits,
     }
     return pos;
 }
+
+// ---------------- whole-block canonical decode -----------------------------
+// Decodes an entire Huffman entropy payload (all chunks: alphabet header,
+// ExpGolomb code-length deltas, canonical table build, 4 interleaved
+// streams — HuffmanDecoder.java:213-345 / HuffmanEncoder.java:419-493 wire)
+// in one native call, eliminating the per-chunk Python overhead.  The inner
+// loop pulls one symbol from each of the 4 streams per iteration with
+// independent bit windows, mirroring the reference decoder's ILP shape.
+//
+// The caller must pass a buffer with >= 8 readable bytes beyond the payload
+// (zero padding; the 12-bit lookahead window may extend past a stream's
+// declared end — only the first `len` bits of a window select the symbol,
+// so over-read bits never change the output).
+//
+// Returns the final bit position, or a negative error:
+//   -1 invalid table/lengths/alphabet   -2 stream size mismatch
+//   -3 truncated stream (read past nbits)
+
+namespace {
+
+struct BitRd {
+    const uint8_t* p;
+    int64_t nbits;
+    int64_t pos;
+    bool err;
+};
+
+// n <= 32; buffer is padded, so over-read only sets err (no OOB access)
+static inline uint32_t hb_read(BitRd& b, int n) {
+    if (b.pos + n > b.nbits) { b.err = true; return 0; }
+    const uint8_t* q = b.p + (b.pos >> 3);
+    uint64_t w = ((uint64_t)q[0] << 32) | ((uint64_t)q[1] << 24)
+               | ((uint64_t)q[2] << 16) | ((uint64_t)q[3] << 8) | q[4];
+    uint32_t v = (uint32_t)((w >> (40 - n - (b.pos & 7)))
+                            & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
+    b.pos += n;
+    return v;
+}
+
+static inline int hb_bit(BitRd& b) { return (int)hb_read(b, 1); }
+
+// LSB-first byte varint (EntropyUtils.java:259-300)
+static inline int64_t hb_varint(BitRd& b) {
+    uint32_t v = hb_read(b, 8);
+    int64_t res = v & 0x7F;
+    int shift = 7;
+    while (v >= 128) {
+        v = hb_read(b, 8);
+        res |= (int64_t)(v & 0x7F) << shift;
+        if (shift == 28) break;
+        shift += 7;
+    }
+    return res;
+}
+
+// signed Exp-Golomb byte (ExpGolombDecoder.java:25-100)
+static inline int hb_expg_signed(BitRd& b) {
+    if (hb_bit(b) == 1) return 0;
+    int k = 1;
+    while (!b.err && hb_bit(b) == 0) {
+        if (++k > 32) { b.err = true; return 0; }
+    }
+    uint32_t res = hb_read(b, k + 1);
+    int sgn = res & 1;
+    int64_t r = (int64_t)(res >> 1) + (1 << k) - 1;
+    return (int)(((r - sgn) ^ -(int64_t)sgn) & 0xFF);
+}
+
+}  // namespace
+
+EXPORT int64_t kz_huffman_block_decode(const uint8_t* pay, int64_t nbits,
+                                       int64_t bitpos, int64_t count,
+                                       int64_t chunk_size, uint8_t* out) {
+    BitRd br{pay, nbits, bitpos, false};
+    uint8_t sym_lut[1 << MAX_SYMBOL_SIZE];
+    uint8_t len_lut[1 << MAX_SYMBOL_SIZE];
+    int64_t start = 0;
+    while (start < count) {
+        const int64_t sz = std::min(chunk_size, count - start);
+        if (sz < 32) {  // raw bytes
+            for (int64_t i = 0; i < sz; i++)
+                out[start + i] = (uint8_t)hb_read(br, 8);
+            if (br.err) return -3;
+            start += sz;
+            continue;
+        }
+        // --- alphabet (EntropyUtils.java:38-122) ---
+        int alphabet[256];
+        int n_sym = 0;
+        if (hb_bit(br) == 0) {          // full/empty
+            if (hb_bit(br) == 1) return -1;  // empty alphabet
+            n_sym = 256;
+            for (int i = 0; i < 256; i++) alphabet[i] = i;
+        } else {                        // partial: presence bitmap
+            const int last_mask = (int)hb_read(br, 5);
+            for (int m = 0; m <= last_mask; m++) {
+                const uint32_t mask = hb_read(br, 8);
+                for (int j = 0; j < 8; j++)
+                    if (mask & (1u << j)) alphabet[n_sym++] = 8 * m + j;
+            }
+            if (n_sym == 0) return -1;
+        }
+        if (br.err) return -3;
+        // --- code lengths: signed ExpGolomb deltas from 2 ---
+        uint8_t lens[256];
+        int cur = 2;
+        for (int i = 0; i < n_sym; i++) {
+            int d = hb_expg_signed(br);
+            if (d >= 128) d -= 256;
+            cur += d;
+            if (cur <= 0 || cur > MAX_SYMBOL_SIZE || br.err)
+                return br.err ? -3 : -1;
+            lens[i] = (uint8_t)cur;
+        }
+        if (n_sym == 1) {
+            std::memset(out + start, alphabet[0], (size_t)sz);
+            start += sz;
+            continue;
+        }
+        // --- canonical codes over (length, symbol) order ---
+        // alphabet is ascending, so a counting bucket by length is the
+        // (length, value) lexsort (HuffmanCommon.java:71-111)
+        int buckets[MAX_SYMBOL_SIZE + 2] = {0};
+        for (int i = 0; i < n_sym; i++) buckets[lens[i] + 1]++;
+        for (int l = 1; l <= MAX_SYMBOL_SIZE; l++) buckets[l + 1] += buckets[l];
+        int order_sym[256];
+        uint8_t order_len[256];
+        {
+            int pos_in[MAX_SYMBOL_SIZE + 1];
+            for (int l = 0; l <= MAX_SYMBOL_SIZE; l++) pos_in[l] = buckets[l];
+            for (int i = 0; i < n_sym; i++) {
+                const int k = pos_in[lens[i]]++;
+                order_sym[k] = alphabet[i];
+                order_len[k] = lens[i];
+            }
+        }
+        std::memset(sym_lut, 7, sizeof(sym_lut));
+        std::memset(len_lut, 1, sizeof(len_lut));
+        {
+            int64_t code = 0;
+            int cur_len = order_len[0];
+            for (int i = 0; i < n_sym; i++) {
+                const int L = order_len[i];
+                code <<= (L - cur_len);
+                cur_len = L;
+                if (code >= ((int64_t)1 << L)) return -1;  // over-subscribed
+                const int span = 1 << (MAX_SYMBOL_SIZE - L);
+                const int lo = (int)(code << (MAX_SYMBOL_SIZE - L));
+                std::memset(sym_lut + lo, order_sym[i], (size_t)span);
+                std::memset(len_lut + lo, L, (size_t)span);
+                code++;
+            }
+        }
+        // --- 4 interleaved streams ---
+        int64_t sbits[4];
+        for (int j = 0; j < 4; j++) {
+            sbits[j] = hb_varint(br);
+            if (sbits[j] > (int64_t)MAX_SYMBOL_SIZE * (chunk_size / 4))
+                return -1;
+        }
+        if (br.err) return -3;
+        const int64_t frag = sz / 4;
+        int64_t P[4];
+        P[0] = br.pos;
+        for (int j = 1; j < 4; j++) P[j] = P[j - 1] + sbits[j - 1];
+        if (P[3] + sbits[3] > nbits) return -3;
+        uint8_t* o0 = out + start;
+        uint8_t* o1 = o0 + frag;
+        uint8_t* o2 = o1 + frag;
+        uint8_t* o3 = o2 + frag;
+        int64_t p0 = P[0], p1 = P[1], p2 = P[2], p3 = P[3];
+        #define HB_WIN(pp) ((uint32_t)((((uint32_t)pay[(pp) >> 3] << 16)     \
+                          | ((uint32_t)pay[((pp) >> 3) + 1] << 8)            \
+                          |  (uint32_t)pay[((pp) >> 3) + 2])                 \
+                          >> (12 - ((pp) & 7))) & 0xFFF)
+        for (int64_t i = 0; i < frag; i++) {
+            const uint32_t w0 = HB_WIN(p0);
+            const uint32_t w1 = HB_WIN(p1);
+            const uint32_t w2 = HB_WIN(p2);
+            const uint32_t w3 = HB_WIN(p3);
+            o0[i] = sym_lut[w0]; p0 += len_lut[w0];
+            o1[i] = sym_lut[w1]; p1 += len_lut[w1];
+            o2[i] = sym_lut[w2]; p2 += len_lut[w2];
+            o3[i] = sym_lut[w3]; p3 += len_lut[w3];
+        }
+        #undef HB_WIN
+        if (p0 - P[0] != sbits[0] || p1 - P[1] != sbits[1]
+            || p2 - P[2] != sbits[2] || p3 - P[3] != sbits[3])
+            return -2;
+        br.pos = P[3] + sbits[3];
+        // leftover symbols as raw bytes
+        for (int64_t i = 4 * frag; i < sz; i++)
+            out[start + i] = (uint8_t)hb_read(br, 8);
+        if (br.err) return -3;
+        start += sz;
+    }
+    return br.pos;
+}

@@ -205,6 +205,8 @@ EXPORT i64 kz_srt_inverse(const u8* src, i64 srcLen, u8* dst, i64 cap) {
 // forward: zero run R -> binary digits of (R+1) below the MSB, one byte
 // per bit; val 1..0xFD -> val+1; 0xFE/0xFF -> (0xFF, val-0xFE).
 
+// Output must be strictly smaller than the input (total < cap), matching the
+// Python spec's `total >= n -> skip`; every branch checks di+emitted >= cap.
 EXPORT i64 kz_zrlt_forward(const u8* src, i64 count, u8* dst, i64 cap) {
     i64 si = 0, di = 0;
     while (si < count) {
@@ -214,17 +216,17 @@ EXPORT i64 kz_zrlt_forward(const u8* src, i64 count, u8* dst, i64 cap) {
             while (si + run < count && src[si + run] == 0) run++;
             const uint64_t v = (uint64_t)run + 1;
             int k = 63 - __builtin_clzll(v);  // floor log2 = digits below MSB
-            if (di + k > cap) return -1;      // would expand: skip stage
+            if (di + k >= cap) return -1;     // would not shrink: skip stage
             for (int j = 0; j < k; j++)
                 dst[di++] = (u8)((v >> (k - 1 - j)) & 1);
             si += run;
         } else if (val >= 0xFE) {
-            if (di + 2 > cap) return -1;
+            if (di + 2 >= cap) return -1;
             dst[di++] = 0xFF;
             dst[di++] = (u8)(val - 0xFE);
             si++;
         } else {
-            if (di >= cap) return -1;
+            if (di + 1 >= cap) return -1;
             dst[di++] = (u8)(val + 1);
             si++;
         }
@@ -235,29 +237,39 @@ EXPORT i64 kz_zrlt_forward(const u8* src, i64 count, u8* dst, i64 cap) {
 // inverse: maximal runs of 0/1 tokens accumulate run = 2*run + bit from
 // run=1, emitting run-1 zeros; 0xFF consumes its pair byte (even a 0/1),
 // a trailing pairless 0xFF emits nothing (ZRLT.java:198-201).
+// Matches the Python spec's semantics exactly: a bit-run longer than 40
+// digits is an invalid stream (-3, zrlt.py guards `bg_lens > 40`).
+// Writes beyond `cap` are dropped but still COUNTED: the return value is
+// the total decoded length, so a caller whose buffer was too small can
+// retry with an exact-size buffer (the Python path builds the full output
+// then truncates to count).
 EXPORT i64 kz_zrlt_inverse(const u8* src, i64 count, u8* dst, i64 cap) {
     i64 si = 0, di = 0;
     while (si < count) {
         u8 val = src[si];
         if (val <= 1) {
             uint64_t run = 1;
+            i64 digits = 0;
             while (si < count && (val = src[si]) <= 1) {
                 run = (run << 1) | val;
                 si++;
-                if (run > (1ull << 40)) return -3;  // invalid stream
+                if (++digits > 40) return -3;  // invalid stream (spec predicate)
             }
             run -= 1;
-            if ((i64)run > cap - di) return -2;
-            memset(dst + di, 0, (size_t)run);
+            if (di < cap) {
+                i64 emit = (i64)run;
+                if (emit > cap - di) emit = cap - di;
+                memset(dst + di, 0, (size_t)emit);
+            }
             di += (i64)run;
         } else if (val == 0xFF) {
             if (si + 1 >= count) { si = count; break; }
-            if (di >= cap) return -2;
-            dst[di++] = (u8)(0xFE + src[si + 1]);
+            if (di < cap) dst[di] = (u8)(0xFE + src[si + 1]);
+            di++;
             si += 2;
         } else {
-            if (di >= cap) return -2;
-            dst[di++] = (u8)(val - 1);
+            if (di < cap) dst[di] = (u8)(val - 1);
+            di++;
             si++;
         }
     }

@@ -159,7 +159,8 @@ def test_no_native_cli_decode(tmp_path):
 
 
 @pytest.mark.parametrize("kind", ["zero_heavy", "dense_small", "zeros",
-                                  "edge_vals"])
+                                  "edge_vals", "zero_free_exact",
+                                  "one_zero_exact"])
 def test_zrlt_native_matches_python(kind, monkeypatch):
     """kz_zrlt_forward/inverse (native/transforms.cpp) must be
     byte-identical to the Python spec (transforms/zrlt.py) in both
@@ -179,6 +180,11 @@ def test_zrlt_native_matches_python(kind, monkeypatch):
         "dense_small": rng.integers(0, 6, 65536),
         "zeros": np.zeros(70000, np.int64),
         "edge_vals": np.array([0] * 777 + [254, 255, 1, 0, 0, 3, 255]),
+        # boundary: zero-free data maps 1:1 — output == input size, which
+        # must SKIP (strictly-smaller rule) on BOTH paths
+        "zero_free_exact": np.arange(1, 0xFE, dtype=np.int64),
+        # one zero saves a byte but a 0xFE pair costs one: exact size again
+        "one_zero_exact": np.array([0, 0, 0xFE] + [5] * 40),
     }[kind].astype(np.uint8)
     z = ZRLT()
 
