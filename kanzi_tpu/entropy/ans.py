@@ -286,9 +286,10 @@ class ANSRangeEncoder:
 class ANSRangeDecoder:
     def __init__(self, br: BitReader, order: int = 0,
                  chunk_size: int = DEFAULT_ANS0_CHUNK_SIZE,
-                 bs_version: int = 7) -> None:
+                 bs_version: int = 7, ctx: dict | None = None) -> None:
         if order not in (0, 1):
             raise ValueError("ANS order must be 0 or 1")
+        self._ctx = ctx
         self.br = br
         self.order = order
         self.bs_version = bs_version
@@ -299,6 +300,23 @@ class ANSRangeDecoder:
 
     def decode(self, count: int, br: BitReader | None = None) -> np.ndarray:
         br = br or self.br
+        mesh = (self._ctx or {}).get("_ans0_mesh")
+        if (mesh is not None and self.order == 0 and count > 32
+                and self.bs_version >= 4):
+            # entropy-stage decode sharded over the device mesh — the
+            # DecodingTask fan-out (CompressedInputStream.java:1106-1191)
+            # symmetric to the encoder's _ans0_mesh hook above.  Peek the
+            # first chunk's log range: the mesh kernels bake in the
+            # default; any other (legal) stream falls back to the host.
+            pos = br.read_count
+            lr = 8 + br.read_bits(3)
+            br.seek(pos)
+            if (lr == DEFAULT_LOG_RANGE
+                    and self._chunk_size0 == DEFAULT_ANS0_CHUNK_SIZE):
+                from ..parallel import engine as _eng
+                with _eng.MESH_DISPATCH_LOCK:
+                    return _eng.mesh_ans0_decode_stream(
+                        mesh, br, count, chunk=self._chunk_size0)
         if self.bs_version >= 4 and self._device_decode_ok(count):
             from ..ops.ans_block import ans0_decode
             return ans0_decode(count, br)

@@ -86,10 +86,10 @@ def new_decoder(br: BitReader, ctx: dict, entropy_type: int):
         return HuffmanDecoder(br, bs_version=bs_version)
     if entropy_type == ANS0_TYPE:
         from .ans import ANSRangeDecoder
-        return ANSRangeDecoder(br, 0, bs_version=bs_version)
+        return ANSRangeDecoder(br, 0, bs_version=bs_version, ctx=ctx)
     if entropy_type == ANS1_TYPE:
         from .ans import ANSRangeDecoder
-        return ANSRangeDecoder(br, 1, bs_version=bs_version)
+        return ANSRangeDecoder(br, 1, bs_version=bs_version, ctx=ctx)
     if entropy_type == RANGE_TYPE:
         from .range_codec import RangeDecoder
         return RangeDecoder(br)

@@ -47,6 +47,12 @@ def _shard_map(fn, mesh: Mesh, *, in_specs, out_specs):
 def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            # a silent short mesh invalidates every scaling measurement
+            # built on it (and did, in one debugging session) — fail loud
+            raise ValueError(
+                f"make_mesh({n_devices}): only {len(devs)} devices visible "
+                f"on backend '{jax.default_backend()}'")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
@@ -226,16 +232,27 @@ def make_decode_step(mesh: Mesh, maxp: int, chunk: int = 16384):
 def mesh_ans0_decompress(mesh: Mesh, wire: bytes, count: int,
                          chunk: int = 16384) -> np.ndarray:
     """Decode an ANSRangeEncoder order-0 stream with the chunk payloads
-    sharded across the mesh.  Exact inverse of mesh_ans0_compress /
-    entropy.ans.ANSRangeEncoder(order=0); chunk headers are parsed
-    host-side in stream order, full standard chunks decode on the mesh,
-    degenerate chunks (single-symbol) and the tail chunk on the host."""
+    sharded across the mesh (standalone-buffer wrapper around
+    mesh_ans0_decode_stream)."""
     from ..core.bits import BitReader
+    return mesh_ans0_decode_stream(mesh, BitReader(wire), count, chunk)
+
+
+def mesh_ans0_decode_stream(mesh: Mesh, br, count: int,
+                            chunk: int = 16384) -> np.ndarray:
+    """Decode an ANSRangeEncoder order-0 stream from ``br`` (any bit
+    position) with the chunk payloads sharded across the mesh — the mesh
+    analogue of the reference's concurrent DecodingTasks
+    (K/io/CompressedInputStream.java:1106-1191), callable mid-stream so
+    the v7 reader's entropy stage can fan out.  Exact inverse of
+    mesh_ans0_compress / entropy.ans.ANSRangeEncoder(order=0); chunk
+    headers are parsed host-side in stream order, full standard chunks
+    decode on the mesh, degenerate chunks (single-symbol) and the tail
+    chunk on the host."""
     from ..core.errors import BitStreamError
     from ..entropy import ans as hans
     from ..entropy import utils as eu
 
-    br = BitReader(wire)
     if count <= 32:
         return br.read_bytes(count)
     out = np.empty(count, dtype=np.uint8)
@@ -300,6 +317,24 @@ import threading
 # serializes mesh dispatches issued from the stream writer's worker
 # threads (the entropy-stage hook in entropy/ans.py)
 MESH_DISPATCH_LOCK = threading.Lock()
+
+
+def mesh_decompress(mesh: Mesh, blob: bytes, jobs: int | None = None) -> bytes:
+    """Decode a complete v7 .knz stream with the ANS0 entropy stage
+    sharded over the mesh — the decode-side counterpart of
+    mesh_l5_compress / mesh_ans0_compress.  The standard reader drives
+    block framing, transform inverses and checksums; every ANS0 entropy
+    payload fans its chunk decode out across the ``blocks`` axis via the
+    ctx hook (entropy/ans.ANSRangeDecoder.decode).  Match:
+    K/io/CompressedInputStream.java:1106-1191 DecodingTask concurrency."""
+    import io as _io
+
+    from ..io.stream import CompressedInputStream
+
+    ctx: dict = {"_ans0_mesh": mesh}
+    if jobs:
+        ctx["jobs"] = jobs
+    return CompressedInputStream(_io.BytesIO(blob), ctx).read(-1)
 
 
 @functools.lru_cache(maxsize=None)

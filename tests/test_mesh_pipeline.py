@@ -120,3 +120,37 @@ def test_mesh_l5_round_trip_and_ratio():
                            entropy="ANS0", block_size=1 << 19,
                            jobs=2).compress_bytes(data.tobytes())
     assert len(wire) <= len(host) + 4 * ((data.size >> 19) + 1)
+
+
+def test_mesh_reader_decode_round_trip():
+    """Full-stream mesh DECODE through the standard reader: the l5 wire
+    round-trips with the ANS0 entropy stage sharded in BOTH directions
+    (encoder hook entropy/ans.py _ans0_mesh; decoder hook
+    ANSRangeDecoder.decode -> mesh_ans0_decode_stream).  Match:
+    CompressedInputStream.java:1106-1191 DecodingTask fan-out."""
+    from kanzi_tpu.parallel.engine import mesh_decompress, mesh_l5_compress
+    from kanzi_tpu.utils.corpus import mixed_corpus
+
+    mesh = _mesh(8)
+    data = mixed_corpus(2 << 20, seed=11)
+    wire = mesh_l5_compress(mesh, data, block_size=1 << 19)
+    got = mesh_decompress(mesh, wire, jobs=2)
+    assert got == data.tobytes()
+
+
+def test_mesh_reader_decode_rejects_corrupt_stream():
+    """The sharded reader path keeps the host reader's failure detection:
+    flipped payload bits are rejected, not silently mis-decoded."""
+    import pytest as _pytest
+
+    from kanzi_tpu.core.errors import BitStreamError
+    from kanzi_tpu.io.stream import IOError_
+    from kanzi_tpu.parallel.engine import mesh_decompress, mesh_l5_compress
+    from kanzi_tpu.utils.corpus import mixed_corpus
+
+    mesh = _mesh(8)
+    data = mixed_corpus(1 << 20, seed=12)
+    wire = bytearray(mesh_l5_compress(mesh, data, block_size=1 << 19))
+    wire[(len(wire) * 3) // 4] ^= 0xFF
+    with _pytest.raises((BitStreamError, IOError_, ValueError, EOFError)):
+        mesh_decompress(mesh, bytes(wire), jobs=2)
