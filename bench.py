@@ -51,13 +51,16 @@ def _enable_compile_cache() -> None:
 _enable_compile_cache()
 
 
-BASELINE = {1: 0.416, 3: 0.237, 5: 0.123}  # silesia e2e enc GB/s, BASELINE.md
+BASELINE = {1: 0.416, 3: 0.237, 5: 0.123, 8: 0.036, 9: 0.014}
+# silesia e2e enc GB/s, BASELINE.md
 # reference silesia DECODE rates (GB/s) from BASELINE.md enc/dec ms pairs
-BASELINE_DEC = {1: 1.158, 3: 0.451, 5: 0.282, 7: 0.203}
-# reference silesia compression ratios per level (target column for the
-# real-file corpus; silesia.tar = 211,957,760 B, README.md:69-94)
+BASELINE_DEC = {1: 1.158, 2: 0.669, 3: 0.451, 4: 0.285, 5: 0.282,
+                6: 0.269, 7: 0.203, 8: 0.035, 9: 0.014}
+# reference silesia compression ratios per level.  NOTE: a DIFFERENT
+# dataset from both bench corpora — trend context only, NOT a comparable
+# target (silesia.tar = 211,957,760 B, README.md:69-94)
 SILESIA_RATIO = {1: 0.374, 2: 0.324, 3: 0.302, 4: 0.289, 5: 0.254,
-                 6: 0.233, 7: 0.223}  # per-level size / 211,957,760
+                 6: 0.233, 7: 0.223, 8: 0.203, 9: 0.196}
 CORPUS_MB = 64          # the l1 end-to-end loops
 SCORE_MB = 16           # scoreboards (levels 4-7 are slow on 2 cores)
 ANS0_MB = 256           # the entropy-stage encode kernel (amortizes dispatch)
@@ -215,35 +218,52 @@ def bench_cpu_level(data: np.ndarray, level: int, jobs: int = 0,
 
 
 def scoreboard(data: np.ndarray, err, tag: str, device_gates: bool) -> dict:
-    """Per level 1..7: compressed size + encode/decode GB/s on ``data``,
-    host path vs device gates.  The parity instrument VERDICT r2 item 5
-    asked for — a device engine must never produce a larger stream than
-    the host path it replaces — now with the DECODE half of every pair
-    (VERDICT r3 missing item 1).  Device gates: LZ/LZX sort engine (l1),
-    device Huffman (l2, l3), device ANS0 (l5)."""
+    """Per level 1..9: compressed size + encode/decode GB/s, host path vs
+    device gates (a device engine must never produce a larger stream than
+    the host path it replaces).  Measurement rules (VERDICT r4 weak #4 +
+    next #2): best-of-N timing per cell; levels whose block size exceeds
+    the slice get enough data for TWO blocks so both jobs stay busy (the
+    reference's numbers come from 13+ blocks over 16 cores); l8/l9 run a
+    4 MiB slice (TPAQ/TPAQX are ~15 MB/s-class by design).
+    Device gates: LZ/LZX sort engine (l1), device Huffman (l2, l3),
+    device ANS0 (l5)."""
     import os
 
     from kanzi_tpu.app.block_compressor import LEVELS, BlockCompressor
     from kanzi_tpu.io.stream import CompressedInputStream
 
-    raw = data.tobytes()
-    gates = {1: {"KANZI_TPU_DEVICE_LZ": "1"},
-             2: {"KANZI_TPU_DEVICE_HUFFMAN": "1"},
-             3: {"KANZI_TPU_DEVICE_HUFFMAN": "1"},
-             5: {"KANZI_TPU_DEVICE_ANS": "1"}}
     board = {}
-    for level in range(1, 8):
+    for level in range(1, 10):
         t, e, b = LEVELS[level]
+        if level >= 8:
+            d = data[:4 << 20]
+            iters_e, iters_d = 1, 1     # TPAQ at ~4 MiB: one timed pass
+        else:
+            # at least two blocks so both jobs stay busy (l7's 16 MiB
+            # block would otherwise serialize on a 16 MiB slice)
+            want = max(SCORE_MB << 20, 2 * b)
+            d = data[:min(want, data.size)]
+            iters_e, iters_d = 2, 3
+        raw = d.tobytes()
         bc = BlockCompressor(transform=t, entropy=e, block_size=b, jobs=2)
-        t0 = time.perf_counter()
-        blob = bc.compress_bytes(raw)
-        t_host = time.perf_counter() - t0
+        t_host = float("inf")
+        for _ in range(iters_e):
+            t0 = time.perf_counter()
+            blob = bc.compress_bytes(raw)
+            t_host = min(t_host, time.perf_counter() - t0)
         host = len(blob)
-        t0 = time.perf_counter()
-        out = CompressedInputStream(io.BytesIO(blob), {"jobs": 2}).read(-1)
-        t_dec = time.perf_counter() - t0
+        t_dec = float("inf")
+        for _ in range(iters_d):
+            t0 = time.perf_counter()
+            out = CompressedInputStream(io.BytesIO(blob),
+                                        {"jobs": 2}).read(-1)
+            t_dec = min(t_dec, time.perf_counter() - t0)
         assert out == raw, f"{tag} l{level} round-trip mismatch"
         dev = None
+        gates = {1: {"KANZI_TPU_DEVICE_LZ": "1"},
+                 2: {"KANZI_TPU_DEVICE_HUFFMAN": "1"},
+                 3: {"KANZI_TPU_DEVICE_HUFFMAN": "1"},
+                 5: {"KANZI_TPU_DEVICE_ANS": "1"}}
         if device_gates and level in gates:
             env = gates[level]
             old = {k: os.environ.get(k) for k in env}
@@ -258,18 +278,21 @@ def scoreboard(data: np.ndarray, err, tag: str, device_gates: bool) -> dict:
                         os.environ.pop(k, None)
                     else:
                         os.environ[k] = v
-        enc_g = data.size / t_host / 1e9
-        dec_g = data.size / t_dec / 1e9
+        enc_g = d.size / t_host / 1e9
+        dec_g = d.size / t_dec / 1e9
         board[level] = {"host": host, "device": dev,
-                        "ratio": round(host / data.size, 4),
+                        "slice_mb": d.size >> 20,
+                        "ratio": round(host / d.size, 4),
                         "host_gbps": round(enc_g, 4),
                         "host_dec_gbps": round(dec_g, 4)}
         flag = ""
         if dev is not None:
             flag = " DEVICE>HOST!" if dev > host else " ok"
-        print(f"{tag} l{level}: host {host} ratio {host/data.size:.4f}"
+        print(f"{tag} l{level}: host {host} ratio {host/d.size:.4f}"
               + (f" device {dev}{flag}" if dev is not None else "")
-              + f" (enc {enc_g:.3f} / dec {dec_g:.3f} GB/s host)", file=err)
+              + f" (enc {enc_g:.3f} / dec {dec_g:.3f} GB/s host, "
+              + f"{d.size >> 20} MiB best-of-{iters_e}/{iters_d})",
+              file=err)
     return board
 
 
@@ -296,7 +319,8 @@ def main() -> None:
         print(f"secondary cpu bench failed: {e}", file=err)
     board = {}
     try:
-        board = scoreboard(_corpus(SCORE_MB << 20, seed=0), err,
+        # 32 MiB so the l7 row gets two 16 MiB blocks (both jobs busy)
+        board = scoreboard(_corpus(32 << 20, seed=0), err,
                            "scoreboard", device_gates=True)
     except Exception as e:  # pragma: no cover
         print(f"ratio scoreboard failed: {e}", file=err)
@@ -308,11 +332,11 @@ def main() -> None:
         rdata, real_sha, breakdown = real_corpus(64 << 20)
         print(f"real corpus sha256 {real_sha[:16]}.. sections {breakdown}",
               file=err)
-        real_board = scoreboard(rdata[:SCORE_MB << 20], err, "real",
+        real_board = scoreboard(rdata[:32 << 20], err, "real",
                                 device_gates=False)
         for lv, tgt in SILESIA_RATIO.items():
             if lv in real_board:
-                real_board[lv]["silesia_ref_ratio"] = tgt
+                real_board[lv]["silesia_ratio_other_dataset"] = tgt
     except Exception as e:  # pragma: no cover
         print(f"real corpus scoreboard failed: {e}", file=err)
     dev_e2e = dev_pipe = d2h = ans0 = ans0_dec = 0.0
@@ -382,9 +406,17 @@ def main() -> None:
                                    for k, v in real_board.items()}},
         "device_ratio_le_host": dev_le_host,
         "note": ("best available engine end-to-end on a 64 MiB mixed "
-                 "corpus; scoreboards carry enc AND dec GB/s; this box: "
-                 "2 CPU cores + 1 v5e behind a slow d2h tunnel "
+                 "corpus; scoreboards carry enc AND dec GB/s incl l8/l9; "
+                 "real-corpus silesia_ratio_other_dataset is trend "
+                 "context from a DIFFERENT dataset, not a target; this "
+                 "box: 2 CPU cores + 1 v5e behind a slow d2h tunnel "
                  "(reference baseline: 16-core Ryzen 9950X)")}))
+    # short headline AFTER the full JSON: the driver archives the last
+    # 2000 chars of stdout, which the big line alone overflows
+    print(f"HEADLINE l1_encode_e2e {value:.4f} GB/s vs_baseline "
+          f"{value / BASELINE[1]:.3f} ratio {ratio:.4f} | "
+          f"l1 dec {host_dec:.3f} GB/s | device_ratio_le_host "
+          f"{dev_le_host}")
 
 
 if __name__ == "__main__":
