@@ -446,9 +446,15 @@ class CompressedOutputStream:
         # match (wire behavior is identical either way)
         lz_hints = self._device_lz_batch(chunks)
 
+        nchunks = max(1, len(chunks))
+
         def job(blk, bid, hint):
             ctx = dict(self.ctx)
-            ctx["jobs"] = 1
+            # fair split of the thread budget over this batch's blocks —
+            # a lone block keeps the whole budget (its BWT/SA threads),
+            # a full batch gives each block one core (reference ctx
+            # plumbing: jobs flow into the per-task transforms)
+            ctx["jobs"] = max(1, self.jobs // min(self.jobs, nchunks))
             if hint is not None:
                 ctx["_lz_hint"] = hint
             return encode_block(blk, self.transform_type, self.entropy_type,

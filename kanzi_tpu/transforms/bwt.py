@@ -127,7 +127,11 @@ class BWT:
                 from ..ops.bwt_tpu import suffix_array_device
                 sa = suffix_array_device(src).astype(np.int64)
                 return self._assemble_forward(src, sa, chunks)
-        res = nt.bwt_forward_native(src, chunks)
+        # leftover thread budget from the encode task (1 when blocks
+        # already saturate the cores, more when a lone block has the
+        # machine to itself) threads the SA's data-parallel phases
+        jobs = int((self._ctx or {}).get("jobs", 1))
+        res = nt.bwt_forward_native(src, chunks, jobs=jobs)
         if res is not None:
             dst, indexes = res
             self.primary_indexes[:len(indexes)] = [int(x) for x in indexes]

@@ -87,14 +87,27 @@ def suffix_array_native(src: np.ndarray):
     return sa
 
 
-def bwt_forward_native(src: np.ndarray, chunks: int):
+def bwt_forward_native(src: np.ndarray, chunks: int, jobs: int = 1):
     lib = _lib()
     if lib is None:
         return None
     s = np.ascontiguousarray(src)
     dst = np.empty(src.size, dtype=np.uint8)
     indexes = np.zeros(8, dtype=np.int32)
-    lib.kz_bwt_forward(as_u8p(s), as_u8p(dst), src.size, _i32p(indexes), chunks)
+    if jobs > 1 and hasattr(lib, "kz_bwt_forward_mt"):
+        if not getattr(lib, "_bwt_mt_sig", False):
+            import ctypes as c
+            u8p = c.POINTER(c.c_uint8)
+            lib.kz_bwt_forward_mt.restype = c.c_int64
+            lib.kz_bwt_forward_mt.argtypes = [u8p, u8p, c.c_int64,
+                                              c.POINTER(c.c_int32),
+                                              c.c_int32, c.c_int32]
+            lib._bwt_mt_sig = True
+        lib.kz_bwt_forward_mt(as_u8p(s), as_u8p(dst), src.size,
+                              _i32p(indexes), chunks, jobs)
+    else:
+        lib.kz_bwt_forward(as_u8p(s), as_u8p(dst), src.size,
+                           _i32p(indexes), chunks)
     return dst, indexes[:chunks]
 
 

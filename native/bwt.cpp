@@ -37,68 +37,155 @@ namespace {
 
 // Generic SA-IS over an integer alphabet.  s has length n, values in [0,K).
 // SA receives the suffix order.  Memory: O(n + K).
+// SAIS_TB<T>: the in-text type bit (set = S-type).  Packing the type into
+// the character array halves the random loads in the induce inner loops
+// (one cache miss for char+type instead of two into separate arrays);
+// alphabet values must stay below the bit (257 at the top level, the LMS
+// name count <= n/2 < 2^30 in recursions).
+template <typename T> struct sais_tb;
+template <> struct sais_tb<uint16_t> { static const uint16_t bit = 0x8000; };
+template <> struct sais_tb<i32> { static const i32 bit = 1 << 30; };
+
+// run f(tid, nthreads) on `jobs` threads (f(0,1) inline when jobs <= 1)
+template <typename F>
+static void sais_par(i32 jobs, F&& f) {
+    if (jobs <= 1) { f(0, 1); return; }
+    std::vector<std::thread> ts;
+    ts.reserve(jobs - 1);
+    for (i32 t = 1; t < jobs; t++)
+        ts.emplace_back([&f, t, jobs] { f(t, jobs); });
+    f(0, jobs);
+    for (auto& th : ts) th.join();
+}
+
+// The induce sweeps are inherently serial (induced entries are consumed in
+// the same pass), but every other phase of SA-IS is a data-parallel scan;
+// `jobs` > 1 splits those across threads — the framework's encode tasks
+// pass their leftover thread budget here so a lone big block (file <=
+// blockSize) still uses the whole machine, like the reference's
+// multi-threaded BWT inversion does on the decode side (BWT.java:568-674).
 template <typename T>
-void sais_core(const T* s, i32* SA, i32 n, i32 K) {
+void sais_core(const T* s, i32* SA, i32 n, i32 K, i32 jobs = 1) {
     if (n == 0) return;
     if (n == 1) { SA[0] = 0; return; }
+    if (n < (1 << 20)) jobs = 1;     // thread spawn not worth it
+    const T TB = sais_tb<T>::bit;
 
-    std::vector<bool> isS(n);
-    isS[n - 1] = true;  // by convention the last suffix (no sentinel: we treat
-                        // index n-1 relative ordering via type from successor)
-    for (i32 i = n - 2; i >= 0; i--)
-        isS[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && isS[i + 1]);
+    // packed text: char | (S-type ? TB : 0).  Parallel blocks: a block's
+    // rightmost type is resolved by scanning forward to the first strict
+    // inequality (types only depend on chars to the right up to that point).
+    std::vector<T> sp(n);
+    T* SPm = sp.data();
+    sais_par(jobs, [&](i32 tid, i32 nt) {
+        const i64 per = (n + nt - 1) / nt;
+        const i64 lo = (i64)tid * per;
+        const i64 hi = std::min<i64>(n, lo + per);
+        if (lo >= hi) return;
+        // resolve the type at hi-1 (S iff the first differing char to the
+        // right is larger, or we run off the end — sentinel convention)
+        bool st = true;                       // type at position q
+        i64 q = hi - 1;
+        while (q + 1 < n && s[q] == s[q + 1]) q++;
+        if (q + 1 < n) st = s[q] < s[q + 1];
+        // positions (hi-1 .. q] all share that type (equal-char run)
+        SPm[hi - 1] = (T)(s[hi - 1] | (st ? TB : 0));
+        for (i64 i = hi - 2; i >= lo; i--) {
+            st = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && st);
+            SPm[i] = (T)(s[i] | (st ? TB : 0));
+        }
+    });
+    const T* SP = sp.data();
 
-    auto isLMS = [&](i32 i) { return i > 0 && isS[i] && !isS[i - 1]; };
-
-    std::vector<i32> bkt(K + 1);
-    auto bucketEnds = [&]() {
-        std::fill(bkt.begin(), bkt.end(), 0);
-        for (i32 i = 0; i < n; i++) bkt[s[i] + 1]++;
-        for (i32 i = 0; i < K; i++) bkt[i + 1] += bkt[i];
+    auto isLMS = [&](i32 i) {
+        return i > 0 && (SP[i] & TB) && !(SP[i - 1] & TB);
     };
 
+    // bucket counts are a property of the text: count ONCE, copy bounds
+    // per induce pass (a per-pass recount would be a full extra sweep)
     std::vector<i32> bktHead(K + 1), bktTail(K + 1);
-    auto computeBounds = [&]() {
-        bucketEnds();
+    {
+        std::vector<std::vector<i32>> part((size_t)std::max(jobs, 1));
+        sais_par(jobs, [&](i32 tid, i32 nt) {
+            part[tid].assign(K + 1, 0);
+            const i64 per = (n + nt - 1) / nt;
+            const i64 lo = (i64)tid * per;
+            const i64 hi = std::min<i64>(n, lo + per);
+            for (i64 i = lo; i < hi; i++) part[tid][s[i] + 1]++;
+        });
+        std::vector<i32> bkt(K + 1, 0);
+        for (auto& p : part)
+            for (i32 i = 0; i <= K; i++) bkt[i] += p[i];
+        for (i32 i = 0; i < K; i++) bkt[i + 1] += bkt[i];
         for (i32 i = 0; i <= K; i++) bktHead[i] = bkt[i];
         for (i32 i = 0; i <= K; i++) bktTail[i] = (i < K) ? bkt[i + 1] : n;
-    };
+    }
 
     auto induce = [&](const std::vector<i32>& lms) {
-        computeBounds();
-        std::fill(SA, SA + n, -1);
+        sais_par(jobs, [&](i32 tid, i32 nt) {
+            const i64 per = (n + nt - 1) / nt;
+            const i64 lo = (i64)tid * per;
+            const i64 hi = std::min<i64>(n, lo + per);
+            if (lo < hi) std::fill(SA + lo, SA + hi, -1);
+        });
         // place LMS suffixes at bucket tails (in given order, from the back)
         std::vector<i32> tail(bktTail);
         for (i32 i = (i32)lms.size() - 1; i >= 0; i--) {
             const i32 p = lms[i];
-            SA[--tail[s[p]]] = p;
+            SA[--tail[SP[p] & ~TB]] = p;
         }
         // induce L
         std::vector<i32> head(bktHead);
-        // virtual sentinel: suffix n-1's predecessor is induced by treating
-        // position n-1 first if it is L-type relative to the sentinel: the
-        // suffix starting at n-1 is the smallest ending suffix; we emulate the
-        // sentinel by seeding s[n-1] manually.
-        if (n > 0) {
-            const i32 p = n - 1;
-            if (!isS[p]) SA[head[s[p]]++] = p;
+        // virtual sentinel: the suffix at n-1 is seeded manually if L-type
+        {
+            const T v = SP[n - 1];
+            if (!(v & TB)) SA[head[v & ~TB]++] = n - 1;
         }
+        // best-effort prefetch of the packed-text word a future step will
+        // need: SA[i+PF] may still be unwritten/stale, which only wastes
+        // the hint — the serial loop re-reads SA[i] at use time
+        const i32 PF = 24;
         for (i32 i = 0; i < n; i++) {
+            if (i + PF < n) {
+                const i32 f = SA[i + PF];
+                if (f > 0) __builtin_prefetch(&SP[f - 1]);
+            }
             const i32 j = SA[i] - 1;
-            if (SA[i] > 0 && !isS[j]) SA[head[s[j]]++] = j;
+            if (SA[i] > 0) {
+                const T v = SP[j];                  // one random load
+                if (!(v & TB)) SA[head[v & ~TB]++] = j;
+            }
         }
         // induce S
         std::vector<i32> tail2(bktTail);
         for (i32 i = n - 1; i >= 0; i--) {
+            if (i - PF >= 0) {
+                const i32 f = SA[i - PF];
+                if (f > 0) __builtin_prefetch(&SP[f - 1]);
+            }
             const i32 j = SA[i] - 1;
-            if (SA[i] > 0 && isS[j]) SA[--tail2[s[j]]] = j;
+            if (SA[i] > 0) {
+                const T v = SP[j];
+                if (v & TB) SA[--tail2[v & ~TB]] = j;
+            }
         }
     };
 
-    // collect LMS positions in text order
+    // collect LMS positions in text order (block-parallel, spliced in order)
     std::vector<i32> lmsPos;
-    for (i32 i = 1; i < n; i++)
-        if (isLMS(i)) lmsPos.push_back(i);
+    {
+        std::vector<std::vector<i32>> part((size_t)std::max(jobs, 1));
+        sais_par(jobs, [&](i32 tid, i32 nt) {
+            const i64 per = (n + nt - 1) / nt;
+            const i64 lo = std::max<i64>(1, (i64)tid * per);
+            const i64 hi = std::min<i64>(n, (i64)(tid + 1) * per);
+            for (i64 i = lo; i < hi; i++)
+                if (isLMS((i32)i)) part[tid].push_back((i32)i);
+        });
+        size_t tot = 0;
+        for (auto& p : part) tot += p.size();
+        lmsPos.reserve(tot);
+        for (auto& p : part) lmsPos.insert(lmsPos.end(), p.begin(), p.end());
+    }
 
     // First induction with unsorted LMS order gives LMS-substring order.
     induce(lmsPos);
@@ -106,40 +193,63 @@ void sais_core(const T* s, i32* SA, i32 n, i32 K) {
     // Extract sorted LMS and name LMS substrings
     const i32 nLms = (i32)lmsPos.size();
     std::vector<i32> sortedLms;
-    sortedLms.reserve(nLms);
-    for (i32 i = 0; i < n; i++)
-        if (SA[i] > 0 && isLMS(SA[i])) sortedLms.push_back(SA[i]);
+    {
+        std::vector<std::vector<i32>> part((size_t)std::max(jobs, 1));
+        sais_par(jobs, [&](i32 tid, i32 nt) {
+            const i64 per = (n + nt - 1) / nt;
+            const i64 lo = (i64)tid * per;
+            const i64 hi = std::min<i64>(n, lo + per);
+            for (i64 i = lo; i < hi; i++)
+                if (SA[i] > 0 && isLMS(SA[i])) part[tid].push_back(SA[i]);
+        });
+        sortedLms.reserve(nLms);
+        for (auto& p : part)
+            sortedLms.insert(sortedLms.end(), p.begin(), p.end());
+    }
 
     if (nLms > 0) {
-        // name LMS substrings
+        // LMS-substring length per start (substring spans to the NEXT LMS
+        // position inclusive): equal substrings must have equal length, so
+        // compare lengths first and then packed char+type words directly —
+        // no per-character isLMS probing in the compare loop
+        std::vector<i32> lmsLen(nLms);
+        std::vector<i32> lmsRank(n, -1);   // start pos -> index in lmsPos
+        for (i32 i = 0; i < nLms; i++) {
+            lmsRank[lmsPos[i]] = i;
+            lmsLen[i] = (i + 1 < nLms ? lmsPos[i + 1] : n - 1) - lmsPos[i] + 1;
+        }
+        // adjacent-pair substring compares are independent: compute diff
+        // flags in parallel, then one serial prefix-sum assigns names
+        std::vector<u8> diff(nLms, 0);
+        sais_par(jobs, [&](i32 tid, i32 nt) {
+            const i32 per = (nLms + nt - 1) / nt;
+            const i32 lo = std::max(1, tid * per);
+            const i32 hi = std::min(nLms, (tid + 1) * per);
+            for (i32 idx = lo; idx < hi; idx++) {
+                const i32 prev = sortedLms[idx - 1];
+                const i32 cur = sortedLms[idx];
+                const i32 la = lmsLen[lmsRank[prev]];
+                const i32 lb = lmsLen[lmsRank[cur]];
+                bool d = la != lb;
+                if (!d) {
+                    for (i32 k = 0; k < la; k++)
+                        if (SP[prev + k] != SP[cur + k]) { d = true; break; }
+                }
+                diff[idx] = d;
+            }
+        });
         std::vector<i32> name(n, -1);
         i32 counter = 0;
-        i32 prev = -1;
-        for (i32 idx = 0; idx < (i32)sortedLms.size(); idx++) {
-            const i32 cur = sortedLms[idx];
-            if (prev == -1) {
-                name[cur] = counter;
-            } else {
-                // compare LMS substrings at prev & cur
-                bool diff = false;
-                for (i32 d = 0;; d++) {
-                    const i32 a = prev + d, b = cur + d;
-                    if (a >= n || b >= n) { diff = (a >= n) != (b >= n); break; }
-                    if (s[a] != s[b] || isS[a] != isS[b]) { diff = true; break; }
-                    if (d > 0 && (isLMS(a) || isLMS(b))) { diff = !(isLMS(a) && isLMS(b)); break; }
-                }
-                if (diff) counter++;
-                name[cur] = counter;
-            }
-            prev = cur;
+        for (i32 idx = 0; idx < nLms; idx++) {
+            counter += diff[idx];
+            name[sortedLms[idx]] = counter;
         }
         if (counter + 1 < nLms) {
             // recurse on reduced string
             std::vector<i32> s1(nLms);
-            for (i32 i = 0, k = 0; i < n; i++)
-                if (name[i] >= 0) s1[k++] = name[i];
+            for (i32 i = 0; i < nLms; i++) s1[i] = name[lmsPos[i]];
             std::vector<i32> SA1(nLms);
-            sais_core<i32>(s1.data(), SA1.data(), nLms, counter + 1);
+            sais_core<i32>(s1.data(), SA1.data(), nLms, counter + 1, jobs);
             std::vector<i32> ordered(nLms);
             for (i32 i = 0; i < nLms; i++) ordered[i] = lmsPos[SA1[i]];
             induce(ordered);
@@ -153,24 +263,33 @@ void sais_core(const T* s, i32* SA, i32 n, i32 K) {
 
 }  // namespace
 
-EXPORT void kz_suffix_array(const u8* src, i32* sa, i64 n) {
+static void suffix_array_impl(const u8* src, i32* sa, i64 n, i32 jobs) {
     // SA-IS needs a unique smallest sentinel for correctness of suffix
     // (not substring) order; append one by shifting the alphabet.
-    std::vector<i32> s(n + 1);
-    for (i64 i = 0; i < n; i++) s[i] = (i32)src[i] + 1;
+    // u16 text (values 1..256 + sentinel 0): half the memory traffic of
+    // an i32 copy in every induce sweep and bucket count.
+    std::vector<uint16_t> s(n + 1);
+    for (i64 i = 0; i < n; i++) s[i] = (uint16_t)(src[i] + 1);
     s[n] = 0;
     std::vector<i32> SA(n + 1);
-    sais_core<i32>(s.data(), SA.data(), (i32)(n + 1), 257);
+    sais_core<uint16_t>(s.data(), SA.data(), (i32)(n + 1), 257, jobs);
     // drop the sentinel suffix (rank 0)
-    for (i64 i = 0; i < n; i++) sa[i] = SA[i + 1];
+    std::memcpy(sa, SA.data() + 1, (size_t)n * sizeof(i32));
+}
+
+EXPORT void kz_suffix_array(const u8* src, i32* sa, i64 n) {
+    suffix_array_impl(src, sa, n, 1);
 }
 
 // Forward BWT. dst has length n; indexes receives idxCount primary indexes.
-EXPORT i64 kz_bwt_forward(const u8* src, u8* dst, i64 n, i32* indexes, i32 idxCount) {
+// jobs > 1 threads the data-parallel SA-IS phases (induce sweeps stay
+// serial) — used when a lone block has leftover thread budget.
+EXPORT i64 kz_bwt_forward_mt(const u8* src, u8* dst, i64 n, i32* indexes,
+                             i32 idxCount, i32 jobs) {
     if (n == 0) return 0;
     if (n == 1) { dst[0] = src[0]; indexes[0] = 1; return 1; }
     std::vector<i32> sa(n);
-    kz_suffix_array(src, sa.data(), n);
+    suffix_array_impl(src, sa.data(), n, jobs < 1 ? 1 : jobs);
     const i64 st = n / idxCount;
     const i64 step = (st * idxCount != n) ? st + 1 : st;
     i64 pIdx = -1;
@@ -186,6 +305,11 @@ EXPORT i64 kz_bwt_forward(const u8* src, u8* dst, i64 n, i32* indexes, i32 idxCo
         dst[j] = src[sa[j] - 1];
     indexes[0] = (i32)(pIdx + 1);
     return pIdx + 1;
+}
+
+EXPORT i64 kz_bwt_forward(const u8* src, u8* dst, i64 n, i32* indexes,
+                          i32 idxCount) {
+    return kz_bwt_forward_mt(src, dst, n, indexes, idxCount, 1);
 }
 
 // Inverse BWT (mergeTPSI; u32 packing for blocks up to 2^24, u40 above).
