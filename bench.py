@@ -408,8 +408,11 @@ def main() -> None:
         "note": ("best available engine end-to-end on a 64 MiB mixed "
                  "corpus; scoreboards carry enc AND dec GB/s incl l8/l9; "
                  "real-corpus silesia_ratio_other_dataset is trend "
-                 "context from a DIFFERENT dataset, not a target; this "
-                 "box: 2 CPU cores + 1 v5e behind a slow d2h tunnel "
+                 "context from a DIFFERENT dataset, not a target; device "
+                 "l1 analyze is at its measured sort-floor ceiling "
+                 "(docs/kernels.md round-5 verdict) — the TPU l1 story "
+                 "is mesh scale-out; this box: 2 CPU cores + 1 v5e "
+                 "behind a slow d2h tunnel "
                  "(reference baseline: 16-core Ryzen 9950X)")}))
     # short headline AFTER the full JSON: the driver archives the last
     # 2000 chars of stdout, which the big line alone overflows

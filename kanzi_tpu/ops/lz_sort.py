@@ -240,13 +240,16 @@ def _unsort_results(sidx, cand, mlen, idx, shape):
     return jnp.where(has, idx - cand_p, 0), mlen_p
 
 
-def _probe_tiers(ws, idx, mask_fn, shape):
+def _probe_tiers(ws, idx, mask_fn, shape, astride: int = 1):
     """Two-tier sorted-neighborhood probe shared by the flat and windowed
     engines.  ``ws`` are the position-order content words, ``idx`` the
     position iota, ``mask_fn(sidx, c)`` the engine\'s candidate-validity
     mask (distance budget, row edges) — it must broadcast over any row
     split of its (nrows, n) shape (per-row constants are repeated when
-    tier B reshapes rows into segments).  Returns (dist, mlen) per tier,
+    tier B reshapes rows into segments).  ``astride`` > 1 anchor-samples
+    tier A: only every astride-th position enters (and can be found by)
+    the big content sort — the "sort less" experiment (mask_fn must then
+    broadcast at width n//astride too).  Returns (dist, mlen) per tier,
     already unsorted to position order."""
     import jax
     import jax.numpy as jnp
@@ -258,12 +261,25 @@ def _probe_tiers(ws, idx, mask_fn, shape):
     # window; the sorted neighborhood holds the nearest SAME-8-BYTE
     # predecessors (long/far matches the single-entry reference hash often
     # evicts)
-    sa = jax.lax.sort((ws[0] ^ _SIGN, ws[1] ^ _SIGN, *extras, idx),
+    if astride > 1:
+        wsA_in = [w[:, ::astride] for w in ws]
+        idxA = idx[:, ::astride]
+        nA = idxA.shape[1]
+        iotaA = jax.lax.broadcasted_iota(jnp.int32, (nrows, nA), 1)
+    else:
+        wsA_in, idxA, nA = list(ws), idx, n
+        iotaA = idx   # the full iota IS the column iota
+    sa = jax.lax.sort((wsA_in[0] ^ _SIGN, wsA_in[1] ^ _SIGN,
+                       *wsA_in[2:], idxA),
                       num_keys=2, is_stable=True)
     wsA = list(sa[:-1])
     sidxA = sa[-1]
-    candA, mlA = _probe_sorted(wsA, sidxA, idx, mask_fn, nrows, n)
-    distA, mlenA = _unsort_results(sidxA, candA, mlA, idx, (nrows, n))
+    candA, mlA = _probe_sorted(wsA, sidxA, iotaA, mask_fn, nrows, nA)
+    distA, mlenA = _unsort_results(sidxA, candA, mlA, idxA, (nrows, nA))
+    if astride > 1:   # re-expand to full position width (non-anchors: 0)
+        z = jnp.zeros((nrows, n), jnp.int32)
+        distA = z.at[:, ::astride].set(distA)
+        mlenA = z.at[:, ::astride].set(mlenA)
     # tier B — position order within equal 4-byte prefixes, per SEG_B
     # segment: the stable 1-key sort leaves ties in idx order, so radius
     # probes yield the most RECENT same-4-byte predecessors — the
@@ -324,13 +340,17 @@ def _match_flat(bufs, src_end, max_dist, mm: int):
     idx = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 1)
 
     def mask_fn(sidx, c):
-        # per-row constants expanded then re-split so the mask broadcasts
-        # at tier B's per-segment row shape too
-        se = jnp.broadcast_to(src_end[:, None], (nb, n)).reshape(sidx.shape)
-        md = jnp.broadcast_to(max_dist[:, None], (nb, n)).reshape(sidx.shape)
+        # per-row constants repeated by the row split (1x for tier A at
+        # any column width incl the anchor-strided one, nseg-x for tier
+        # B's per-segment rows), then broadcast along columns
+        rep = sidx.shape[0] // nb
+        se = jnp.repeat(src_end, rep)[:, None]
+        md = jnp.repeat(max_dist, rep)[:, None]
         return (sidx < se) & (sidx - c > 0) & (sidx - c <= md)
 
-    tA, tB = _probe_tiers(ws, idx, mask_fn, (nb, n))
+    import os
+    astride = int(os.environ.get("KANZI_TPU_LZ_ANCHOR", "1"))
+    tA, tB = _probe_tiers(ws, idx, mask_fn, (nb, n), astride=astride)
     dist_p, mlen_p = _merge_tiers(tA, tB)
     mlen2 = jnp.minimum(mlen_p, jnp.maximum(src_end[:, None] - idx, 0))
     mlen2 = jnp.where(mlen2 >= max(mm, 4), mlen2, 0)
