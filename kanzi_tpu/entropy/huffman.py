@@ -280,6 +280,12 @@ class HuffmanEncoder:
         if count == 0:
             return 0
         start = self._encode_full_chunks_tpu(block, bw)
+        if start == 0:
+            # whole-block native fast path: all histograms, tables, chunk
+            # headers and the 4 packed streams in one C++ call
+            from ..utils.native_coders import huffman_block_encode_native
+            if huffman_block_encode_native(block, self.chunk_size, bw):
+                return count
         while start < count:
             sz = min(self.chunk_size, count - start)
             chunk = block[start:start + sz]

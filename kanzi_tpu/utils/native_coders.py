@@ -208,6 +208,39 @@ def huffman_decode_native(packed: np.ndarray, nbits: int, nsym: int,
     return out[:nsym], int(end)
 
 
+_HUF_ENC_SIG = False
+
+
+def huffman_block_encode_native(block: np.ndarray, chunk_size: int, bw):
+    """Native whole-block Huffman encode (native/huffman.cpp
+    kz_huffman_block_encode): per-chunk histogram, canonical table,
+    alphabet + ExpGolomb length header and the 4 packed streams in one
+    C++ call; appends (payload, nbits) to ``bw``.  Returns True when the
+    native path ran, False to fall back."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "kz_huffman_block_encode"):
+        return False
+    global _HUF_ENC_SIG
+    import ctypes as c
+    u8p = c.POINTER(c.c_uint8)
+    if not _HUF_ENC_SIG:
+        lib.kz_huffman_block_encode.restype = c.c_int64
+        lib.kz_huffman_block_encode.argtypes = [u8p, c.c_int64, c.c_int64,
+                                                u8p, c.c_int64]
+        _HUF_ENC_SIG = True
+    src = np.ascontiguousarray(block)
+    # worst case ~12 bits/symbol + per-chunk headers
+    cap = block.size * 2 + (block.size // 1024 + 2) * 600 + 4096
+    dst = np.zeros(cap, dtype=np.uint8)
+    nbits = lib.kz_huffman_block_encode(as_u8p(src), src.size,
+                                        int(chunk_size),
+                                        dst.ctypes.data_as(u8p), cap)
+    if nbits < 0:
+        return False
+    bw.write_bytes(dst[:(int(nbits) + 7) >> 3], nbits=int(nbits))
+    return True
+
+
 _HUF_BLK_SIG = False
 
 

@@ -178,61 +178,75 @@ int limit_code_lengths(const int* alphabet, int count, int64_t* freqs,
 
 }  // namespace
 
+namespace {
+
+// one chunk's canonical table from its histogram; fills codes/sizes8 and
+// the ascending alphabet; returns the alphabet size, or -1 on invalid
+// (zero code length from a degenerate normalization)
+int build_one_table(const int64_t* freqs0, uint16_t* codes, uint8_t* sizes8,
+                    int* alphabet) {
+    std::memset(codes, 0, 256 * sizeof(uint16_t));
+    std::memset(sizes8, 0, 256);
+    int count = 0;
+    for (int i = 0; i < 256; i++)
+        if (freqs0[i] > 0) alphabet[count++] = i;
+    if (count == 0) return 0;
+    if (count == 1) { sizes8[alphabet[0]] = 1; return 1; }
+    int64_t sizes[256];
+    std::memset(sizes, 0, sizeof(sizes));
+    int64_t ranks[256];
+    int64_t fcopy[256];
+    std::memcpy(fcopy, freqs0, sizeof(fcopy));
+    for (int i = 0; i < count; i++)
+        ranks[i] = (freqs0[alphabet[i]] << 8) | alphabet[i];
+    int max_len = compute_code_lengths(sizes, ranks, count);
+    if (max_len == 0) return -1;
+    if (max_len > MAX_SYMBOL_SIZE) {
+        // ranks is now sorted (compute_code_lengths sorted in place)
+        max_len = limit_code_lengths(alphabet, count, fcopy, sizes, ranks);
+        if (max_len == 0) return -1;
+    }
+    if (max_len > MAX_SYMBOL_SIZE) {
+        for (int i = 0; i < count; i++) {
+            codes[alphabet[i]] = (uint16_t)i;
+            sizes8[alphabet[i]] = 8;
+        }
+        return count;
+    }
+    // canonical codes over (length, symbol)-sorted alphabet
+    int64_t keys[256];
+    for (int i = 0; i < count; i++)
+        keys[i] = (sizes[alphabet[i]] << 16) | alphabet[i];
+    std::sort(keys, keys + count);
+    int64_t code = 0;
+    int cur_len = (int)(keys[0] >> 16);
+    for (int i = 0; i < count; i++) {
+        int s = (int)(keys[i] & 0xFFFF);
+        int L = (int)(keys[i] >> 16);
+        code <<= (L - cur_len);
+        cur_len = L;
+        codes[s] = (uint16_t)code;
+        sizes8[s] = (uint8_t)L;
+        code++;
+    }
+    return count;
+}
+
+}  // namespace
+
 // hists (n*256 int64) -> codes (n*256 u16), sizes (n*256 u8), nsym (n i32)
 // returns 0 on success, -1 if any chunk failed (invalid zero code length)
 EXPORT int huffman_build_tables(const int64_t* hists, int n_chunks,
                                 uint16_t* codes_out, uint8_t* sizes_out,
                                 int32_t* nsym_out) {
     for (int c = 0; c < n_chunks; c++) {
-        const int64_t* freqs0 = hists + (size_t)c * 256;
-        uint16_t* codes = codes_out + (size_t)c * 256;
-        uint8_t* sizes8 = sizes_out + (size_t)c * 256;
-        std::memset(codes, 0, 256 * sizeof(uint16_t));
-        std::memset(sizes8, 0, 256);
         int alphabet[256];
-        int count = 0;
-        for (int i = 0; i < 256; i++)
-            if (freqs0[i] > 0) alphabet[count++] = i;
+        const int count = build_one_table(hists + (size_t)c * 256,
+                                          codes_out + (size_t)c * 256,
+                                          sizes_out + (size_t)c * 256,
+                                          alphabet);
+        if (count < 0) return -1;
         nsym_out[c] = count;
-        if (count == 0) continue;
-        if (count == 1) { sizes8[alphabet[0]] = 1; continue; }
-        int64_t sizes[256];
-        std::memset(sizes, 0, sizeof(sizes));
-        int64_t ranks[256];
-        int64_t fcopy[256];
-        std::memcpy(fcopy, freqs0, sizeof(fcopy));
-        for (int i = 0; i < count; i++)
-            ranks[i] = (freqs0[alphabet[i]] << 8) | alphabet[i];
-        int max_len = compute_code_lengths(sizes, ranks, count);
-        if (max_len == 0) return -1;
-        if (max_len > MAX_SYMBOL_SIZE) {
-            // ranks is now sorted (compute_code_lengths sorted in place)
-            max_len = limit_code_lengths(alphabet, count, fcopy, sizes, ranks);
-            if (max_len == 0) return -1;
-        }
-        if (max_len > MAX_SYMBOL_SIZE) {
-            for (int i = 0; i < count; i++) {
-                codes[alphabet[i]] = (uint16_t)i;
-                sizes8[alphabet[i]] = 8;
-            }
-            continue;
-        }
-        // canonical codes over (length, symbol)-sorted alphabet
-        int64_t keys[256];
-        for (int i = 0; i < count; i++)
-            keys[i] = (sizes[alphabet[i]] << 16) | alphabet[i];
-        std::sort(keys, keys + count);
-        int64_t code = 0;
-        int cur_len = (int)(keys[0] >> 16);
-        for (int i = 0; i < count; i++) {
-            int s = (int)(keys[i] & 0xFFFF);
-            int L = (int)(keys[i] >> 16);
-            code <<= (L - cur_len);
-            cur_len = L;
-            codes[s] = (uint16_t)code;
-            sizes8[s] = (uint8_t)L;
-            code++;
-        }
     }
     return 0;
 }
@@ -330,6 +344,130 @@ static inline int hb_expg_signed(BitRd& b) {
 }
 
 }  // namespace
+
+// ---------------- whole-block canonical encode -----------------------------
+// Encodes an entire Huffman entropy payload (per 16 KiB chunk: histogram,
+// canonical table, alphabet header, ExpGolomb code-length deltas, 4 varint
+// stream sizes, 4 packed bit streams — HuffmanEncoder.java:419-493 wire)
+// into `out` starting at bit 0.  Returns the total bit count, or -1 when
+// `cap` bytes would overflow.  Byte-identical to the Python encoder
+// (entropy/huffman.py); the caller appends (packed bytes, nbits) to its
+// BitWriter.
+
+namespace {
+
+struct BitWr {
+    uint8_t* p;
+    int64_t cap;     // bytes
+    int64_t pos;     // bits written
+    uint64_t acc;    // pending bits, MSB-first in the low `fill` bits
+    int fill;
+    bool overflow;
+    void put(uint64_t v, int n) {          // n <= 57
+        acc = (acc << n) | (v & ((n >= 64) ? ~0ull : ((1ull << n) - 1)));
+        fill += n;
+        while (fill >= 8) {
+            fill -= 8;
+            const int64_t b = pos >> 3;
+            if (b >= cap) { overflow = true; return; }
+            p[b] = (uint8_t)(acc >> fill);
+            pos += 8;
+        }
+    }
+    int64_t finish() {                      // flush tail, return bit count
+        const int64_t bits = pos + fill;
+        if (fill > 0) {
+            const int64_t b = pos >> 3;
+            if (b >= cap) { overflow = true; return -1; }
+            p[b] = (uint8_t)(acc << (8 - fill));
+            fill = 0;
+        }
+        return overflow ? -1 : bits;
+    }
+};
+
+// signed Exp-Golomb byte (ExpGolombEncoder.java wire; expgolomb.py tables)
+static inline void wr_expg_signed(BitWr& w, int b) {
+    if (b == 0) { w.put(1, 1); return; }
+    const int sv = (b >= 128) ? b - 256 : b;
+    const int a = sv < 0 ? -sv : sv;
+    const int sgn = sv < 0 ? 1 : 0;
+    int k = 0;
+    while ((2 << k) <= a + 1) k++;          // k = bitlen(a+1)-1
+    const int r = a - ((1 << k) - 1);
+    w.put((1ull << (k + 1)) | ((uint64_t)r << 1) | (uint64_t)sgn, 2 * k + 2);
+}
+
+static inline void wr_varint(BitWr& w, uint32_t v) {
+    while (v >= 128) { w.put(0x80 | (v & 0x7F), 8); v >>= 7; }
+    w.put(v, 8);
+}
+
+}  // namespace
+
+EXPORT int64_t kz_huffman_block_encode(const uint8_t* src, int64_t count,
+                                       int64_t chunk_size, uint8_t* out,
+                                       int64_t cap) {
+    BitWr w{out, cap, 0, 0, 0, false};
+    uint16_t codes[256];
+    uint8_t sizes[256];
+    int alphabet[256];
+    for (int64_t start = 0; start < count; start += chunk_size) {
+        const int64_t sz = std::min(chunk_size, count - start);
+        const uint8_t* chunk = src + start;
+        if (sz < 32) {
+            for (int64_t i = 0; i < sz; i++) w.put(chunk[i], 8);
+            continue;
+        }
+        int64_t freqs[256] = {0};
+        for (int64_t i = 0; i < sz; i++) freqs[chunk[i]]++;
+        const int n_sym = build_one_table(freqs, codes, sizes, alphabet);
+        if (n_sym < 0) return -2;
+        // alphabet header (EntropyUtils.java:38-74)
+        if (n_sym == 256) {
+            w.put(0, 1); w.put(0, 1);       // full alphabet
+        } else {
+            w.put(1, 1);                    // partial: presence bitmap
+            uint8_t masks[32] = {0};
+            for (int i = 0; i < n_sym; i++)
+                masks[alphabet[i] >> 3] |= (uint8_t)(1 << (alphabet[i] & 7));
+            const int last_mask = alphabet[n_sym - 1] >> 3;
+            w.put((uint64_t)last_mask, 5);
+            for (int m = 0; m <= last_mask; m++) w.put(masks[m], 8);
+        }
+        // code lengths as signed ExpGolomb deltas from 2
+        int prev = 2;
+        for (int i = 0; i < n_sym; i++) {
+            const int L = sizes[alphabet[i]];
+            wr_expg_signed(w, (L - prev) & 0xFF);
+            prev = L;
+        }
+        if (n_sym <= 1) continue;           // single-symbol chunk: no streams
+        // 4 interleaved streams: per-stream bit counts as varints, then
+        // the packed code bits of each fragment
+        const int64_t frag = sz / 4;
+        int64_t sbits[4];
+        for (int j = 0; j < 4; j++) {
+            int64_t b = 0;
+            const uint8_t* f = chunk + j * frag;
+            for (int64_t i = 0; i < frag; i++) b += sizes[f[i]];
+            sbits[j] = b;
+            wr_varint(w, (uint32_t)b);
+        }
+        (void)sbits;
+        for (int j = 0; j < 4; j++) {
+            const uint8_t* f = chunk + j * frag;
+            for (int64_t i = 0; i < frag; i++) {
+                const uint8_t s = f[i];
+                w.put(codes[s], sizes[s]);
+            }
+        }
+        // leftover symbols as raw bytes
+        for (int64_t i = 4 * frag; i < sz; i++) w.put(chunk[i], 8);
+        if (w.overflow) return -1;
+    }
+    return w.finish();
+}
 
 EXPORT int64_t kz_huffman_block_decode(const uint8_t* pay, int64_t nbits,
                                        int64_t bitpos, int64_t count,
