@@ -409,6 +409,7 @@ EXPORT i64 kz_ans_decode(const u8* src, i64 src_bits, i64 bit_offset, u8* dst,
         if (S.fail) return -1;
         const i32 mask = scale - 1;
         i64 ptr = 0;
+        const i64 buf_end = (i64)buf.size() - 1;   // renorm reads ptr, ptr+1
         const i64 q4 = sz & ~3LL;
         const i64 q = q4 >> 2;
         u8* out = dst + start;
@@ -418,7 +419,13 @@ EXPORT i64 kz_ans_decode(const u8* src, i64 src_bits, i64 bit_offset, u8* dst,
             const i32 c = cum[(size_t)ctxv * 256 + cur];
             i32 x = f * ((i32)((u32)st[lane] >> lr)) + (st[lane] & mask) - c;
             if (x < ANS_TOP) {
-                x = (x << 16) | ((i32)buf[ptr] << 8) | buf[ptr + 1];
+                // corrupt streams can demand more renorm bytes than the
+                // declared payload holds: clamp the cursor (zero feed) and
+                // let the final ptr != psz check reject the chunk
+                if (ptr < buf_end)
+                    x = (x << 16) | ((i32)buf[ptr] << 8) | buf[ptr + 1];
+                else
+                    x = (x << 16);
                 ptr += 2;
             }
             st[lane] = x;
@@ -442,7 +449,10 @@ EXPORT i64 kz_ans_decode(const u8* src, i64 src_bits, i64 bit_offset, u8* dst,
                 prv3 = c3; prv2 = c2; prv1 = c1; prv0 = c0;
             }
         }
-        for (i64 i = q4; i < sz; i++) out[i] = buf[ptr++];
+        for (i64 i = q4; i < sz; i++) {
+            out[i] = (ptr < (i64)buf.size()) ? buf[ptr] : 0;
+            ptr++;
+        }
         if (ptr != psz) return -1;
         start = end;
     }

@@ -319,7 +319,9 @@ static bool bwt_inverse_impl(const u8* src, u8* dst, i64 n, const i32* indexes,
                              i32 chunks, i32 jobs) {
     const i64 pIdx = indexes[0];
     if (pIdx <= 0 || pIdx > n) return false;
-    std::vector<PK> data(n);
+    // >= 256 entries so the 0xFF chain-start marker ((0xFF<<8)|val0) can
+    // never index past the table if a corrupt stream consumes it early
+    std::vector<PK> data((size_t)std::max<i64>(n, 256));
     i64 b[256] = {0};
     for (i64 i = 0; i < n; i++) b[src[i]]++;
     i64 sum = 0;

@@ -307,6 +307,10 @@ EXPORT i64 kz_lzx_inverse(const u8* src, i64 count, u8* dst, i64 dstCap) {
             dstIdx += litLen;
             if (srcIdx >= srcEnd) break;
         }
+        // corrupt streams must not walk the section cursors out of the
+        // buffer: indexes are bounded here, and each bounded read spills
+        // at most 4 bytes into the caller's 16-byte pad
+        if (mLenIdx > count || mIdx > count) return -1;
         i32 mLen, dist;
         const i32 f = token & 0x18;
         if (f == 0) {

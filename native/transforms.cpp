@@ -168,7 +168,9 @@ EXPORT i64 kz_srt_inverse(const u8* src, i64 srcLen, u8* dst, i64 cap) {
     const u8* body = src + idx;
     u8 symbols[256];
     i32 nb = srt_sort_symbols(freqs, symbols);
-    i32 buckets[256], bucketEnds[256], r2s[256];
+    // zero-init: a corrupt stream can reference ranks/symbols the header
+    // never declared — uninitialized entries here were wild indices
+    i32 buckets[256] = {0}, bucketEnds[256] = {0}, r2s[256] = {0};
     i32 bucketPos = 0;
     for (i32 i = 0; i < nb; i++) {
         const i32 c = symbols[i];
@@ -176,6 +178,9 @@ EXPORT i64 kz_srt_inverse(const u8* src, i64 srcLen, u8* dst, i64 cap) {
         r2s[body[bucketPos]] = c;
         buckets[c] = bucketPos + 1;
         bucketPos += freqs[c];
+        // corrupt header: declared frequencies exceeding the body would
+        // let the rank reads below run past the buffer
+        if (bucketPos > count) return -1;
         bucketEnds[c] = bucketPos;
     }
     if (nb == 0) return count == 0 ? 0 : -1;
