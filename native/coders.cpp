@@ -397,7 +397,7 @@ static i64 bin_encode(const u8* src, i64 count, u8* dst, i64 cap, PRED& pred) {
                 const u64 split = (((high - low) >> 4) * (u64)prd) >> 8;
                 if (bit == 0) low += (split + 1); else high = low + split;
                 pred.update(bit);
-                while (((low ^ high) & MASK_24_56) == 0) {
+                while (__builtin_expect(((low ^ high) & MASK_24_56) == 0, 0)) {
                     const u32 v = (u32)(high >> 24);
                     buf.push_back((u8)(v >> 24)); buf.push_back((u8)(v >> 16));
                     buf.push_back((u8)(v >> 8)); buf.push_back((u8)v);
@@ -442,7 +442,7 @@ static i64 bin_decode(const u8* src, i64 srcLen, u8* dst, i64 count, i64* consum
                 if (split >= current) { bit = 1; high = split; }
                 else { bit = 0; low = split + 1; }
                 pred.update(bit);
-                while (((low ^ high) & MASK_24_56) == 0) {
+                while (__builtin_expect(((low ^ high) & MASK_24_56) == 0, 0)) {
                     low = (low << 32) & MASK_0_56;
                     high = ((high << 32) | MASK_0_32) & MASK_0_56;
                     if (idx + 4 > sz) {
@@ -512,7 +512,7 @@ EXPORT i64 kz_fpaq_encode(const u8* src, i64 count, u8* dst, i64 cap) {
                 const u64 split = (((high - low) >> 8) * (u64)p[ctx]) >> 8;
                 if (bit == 0) { low += (split + 1); p[ctx] -= (p[ctx] >> 6); }
                 else { high = low + split; p[ctx] -= ((p[ctx] - PSCALE + 64) >> 6); }
-                while (((low ^ high) & MASK_24_56) == 0) {
+                while (__builtin_expect(((low ^ high) & MASK_24_56) == 0, 0)) {
                     const u32 v = (u32)(high >> 24);
                     buf.push_back((u8)(v >> 24)); buf.push_back((u8)(v >> 16));
                     buf.push_back((u8)(v >> 8)); buf.push_back((u8)v);
@@ -562,7 +562,7 @@ EXPORT i64 kz_fpaq_decode(const u8* src, i64 srcLen, u8* dst, i64 count, i64* co
                     bit = 0; low = split + 1;
                     p[ctx] -= (p[ctx] >> 6);
                 }
-                while (((low ^ high) & MASK_24_56) == 0) {
+                while (__builtin_expect(((low ^ high) & MASK_24_56) == 0, 0)) {
                     low = (low << 32) & MASK_0_56;
                     high = ((high << 32) | MASK_0_32) & MASK_0_56;
                     if (idx + 4 > sz) {
