@@ -11,9 +11,9 @@ Secondaries on stderr:
   * device pipeline rate (input in HBM, two-tier whole-block engine) and
     the device e2e including the dev box's d2h tunnel + overlapped host
     emit
-  * RATIO + SPEED SCOREBOARD — per level 1..7, compressed size, ENCODE
-    and DECODE GB/s on the frozen synthetic corpus, host path + device
-    gates (device size must be <= host)
+  * RATIO + SPEED SCOREBOARD — per level 1..9, compressed size, ENCODE
+    and DECODE GB/s (best-of-N) on the frozen synthetic corpus, host
+    path + device gates (device size must be <= host)
   * the same scoreboard on the REAL-FILE corpus (utils/corpus.real_corpus
     — a frozen silesia-style mix of files on this box, SHA-pinned)
   * ANS0 entropy-stage kernel rates, encode AND decode, incl the decode
