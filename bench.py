@@ -238,14 +238,18 @@ def scoreboard(data: np.ndarray, err, tag: str, device_gates: bool) -> dict:
         if level >= 8:
             d = data[:4 << 20]
             iters_e, iters_d = 1, 1     # TPAQ at ~4 MiB: one timed pass
+            jobs = 1                    # one block => one active core; a
+            #                             2-job pool would halve the
+            #                             per-core normalization unfairly
         else:
             # at least two blocks so both jobs stay busy (l7's 16 MiB
             # block would otherwise serialize on a 16 MiB slice)
             want = max(SCORE_MB << 20, 2 * b)
             d = data[:min(want, data.size)]
             iters_e, iters_d = 2, 3
+            jobs = 2
         raw = d.tobytes()
-        bc = BlockCompressor(transform=t, entropy=e, block_size=b, jobs=2)
+        bc = BlockCompressor(transform=t, entropy=e, block_size=b, jobs=jobs)
         t_host = float("inf")
         for _ in range(iters_e):
             t0 = time.perf_counter()
@@ -256,7 +260,7 @@ def scoreboard(data: np.ndarray, err, tag: str, device_gates: bool) -> dict:
         for _ in range(iters_d):
             t0 = time.perf_counter()
             out = CompressedInputStream(io.BytesIO(blob),
-                                        {"jobs": 2}).read(-1)
+                                        {"jobs": jobs}).read(-1)
             t_dec = min(t_dec, time.perf_counter() - t0)
         assert out == raw, f"{tag} l{level} round-trip mismatch"
         dev = None
@@ -281,7 +285,7 @@ def scoreboard(data: np.ndarray, err, tag: str, device_gates: bool) -> dict:
         enc_g = d.size / t_host / 1e9
         dec_g = d.size / t_dec / 1e9
         board[level] = {"host": host, "device": dev,
-                        "slice_mb": d.size >> 20,
+                        "slice_mb": d.size >> 20, "jobs": jobs,
                         "ratio": round(host / d.size, 4),
                         "host_gbps": round(enc_g, 4),
                         "host_dec_gbps": round(dec_g, 4)}

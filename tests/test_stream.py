@@ -322,7 +322,7 @@ def test_corrupt_stream_fuzz(level):
                          jobs=2, checksum=32)
     blob = bc.compress_bytes(data)
     rng = np.random.default_rng(level)
-    trials = 10 if level >= 8 else 24
+    trials = 10 if level >= 8 else 40
     for trial in range(trials):
         ba = bytearray(blob)
         kind = trial % 3
