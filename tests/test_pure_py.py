@@ -204,3 +204,62 @@ def test_zrlt_native_matches_python(kind, monkeypatch):
     assert np.array_equal(fwd_n, fwd_p)
     assert np.array_equal(inv_n, data)
     assert np.array_equal(inv_p, data)
+
+
+def test_cross_decode_all_levels(tmp_path):
+    """Interop sweep: streams encoded by the pure-Python spec must decode
+    on the native fast paths and vice versa, at every level preset.
+    (The two sides may legitimately emit different — both spec-valid —
+    streams at the LZ levels; the contract is cross-DECODABILITY, the
+    within-repo stand-in for cross-implementation validation while no JVM
+    exists here — docs/compat.md.)"""
+    import io
+
+    import numpy as np
+
+    from kanzi_tpu.app.block_compressor import LEVELS, BlockCompressor
+    from kanzi_tpu.io.stream import CompressedInputStream
+    from kanzi_tpu.utils.corpus import mixed_corpus
+
+    blobs = {}
+    datas = {}
+    for level in range(1, 10):
+        t, e, b = LEVELS[level]
+        n = (24 << 10) if level >= 8 else (96 << 10)
+        datas[level] = mixed_corpus(n, seed=40 + level).tobytes()
+        bc = BlockCompressor(transform=t, entropy=e, block_size=64 << 10,
+                             jobs=1)
+        blobs[level] = bc.compress_bytes(datas[level])  # NATIVE encode
+        (tmp_path / f"n{level}.knz").write_bytes(blobs[level])
+        (tmp_path / f"d{level}.bin").write_bytes(datas[level])
+
+    # child 1: pure-python DECODES the native streams and ENCODES its own
+    script = tmp_path / "py_side.py"
+    script.write_text(
+        "import io, sys\n"
+        "from kanzi_tpu.app.block_compressor import LEVELS, BlockCompressor\n"
+        "from kanzi_tpu.io.stream import CompressedInputStream\n"
+        "root = sys.argv[1]\n"
+        "for level in range(1, 10):\n"
+        "    data = open(f'{root}/d{level}.bin', 'rb').read()\n"
+        "    blob = open(f'{root}/n{level}.knz', 'rb').read()\n"
+        "    out = CompressedInputStream(io.BytesIO(blob), {'jobs': 1}).read(-1)\n"
+        "    assert out == data, f'l{level}: pure-py decode of native stream'\n"
+        "    t, e, b = LEVELS[level]\n"
+        "    bc = BlockCompressor(transform=t, entropy=e, block_size=64 << 10, jobs=1)\n"
+        "    open(f'{root}/p{level}.knz', 'wb').write(bc.compress_bytes(data))\n"
+        "print('PY SIDE OK')\n")
+    env = dict(os.environ)
+    env["KANZI_TPU_NO_NATIVE"] = "1"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run([sys.executable, str(script), str(tmp_path)],
+                       env=env, cwd="/root/repo", capture_output=True,
+                       timeout=900)
+    assert r.returncode == 0, r.stderr.decode(errors="replace")[-2000:]
+    assert b"PY SIDE OK" in r.stdout
+
+    # parent (native) decodes the pure-python streams
+    for level in range(1, 10):
+        blob_p = (tmp_path / f"p{level}.knz").read_bytes()
+        out = CompressedInputStream(io.BytesIO(blob_p), {"jobs": 1}).read(-1)
+        assert out == datas[level], f"l{level}: native decode of py stream"
