@@ -495,21 +495,10 @@ def _make_l1_step(mesh: Mesh, mm: int):
     return jax.jit(fn)
 
 
-def _l1_mesh_hints(mesh, chunks, mm: int = 4, step=None):
-    """Run the sharded LZX stage over all ``chunks`` (one batch of blocks)
-    and return per-block stream-writer hints [(mm, payload-or-None)]."""
-    import jax.numpy as jnp
-
+def _l1_batch_arrays(blocks, live, ndev):
+    """Fixed-shape (bufs, send, mdist, bucket, nb) batch for the sharded
+    LZX stage over the ``live`` block indices."""
     from ..ops import lz_sort as L
-    from ..ops.lz_tpu import MIN_BLOCK_LENGTH, _emit
-
-    ndev = mesh.devices.size
-    blocks = [np.asarray(b, dtype=np.uint8) for b in chunks]
-    hints = [(mm, None)] * len(blocks)
-    live = [i for i, b in enumerate(blocks)
-            if MIN_BLOCK_LENGTH <= b.size <= L.MAX_FLAT]
-    if not live:
-        return hints
     bucket = L._flat_bucket(max(blocks[i].size for i in live))
     nb = len(live) + ((-len(live)) % ndev)  # zero pad rows: no tokens
     bufs = np.zeros((nb, bucket), np.uint8)
@@ -519,11 +508,19 @@ def _l1_mesh_hints(mesh, chunks, mm: int = 4, step=None):
         bufs[j, :blocks[i].size] = blocks[i]
         send[j] = blocks[i].size - 18
         mdist[j] = L._block_max_dist(blocks[i].size)
-    if step is None:
-        step = make_l1_step(mesh, mm)
-    pk_d, dist_d, counts_d = step(
-        jnp.asarray(bufs), jnp.asarray(send), jnp.asarray(mdist))
-    counts = np.asarray(counts_d)
+    return bufs, send, mdist, bucket, nb
+
+
+def tokens_to_hints(blocks, live, hints, pk, dist, counts, bucket, nb,
+                    ndev, mm: int):
+    """Reconstruct per-block stream-writer hints from the sharded stage's
+    gathered token arrays (pk/dist: full front-compacted arrays; counts:
+    per-shard token counts — the ordered-commit metadata).  Host-side
+    numpy only, so it serves both the single-process fetch path and the
+    multi-host process_allgather path."""
+    from ..ops import lz_sort as L
+    from ..ops.lz_tpu import _emit
+
     bps = nb // ndev                      # blocks per shard
     span = bps * bucket                   # positions per shard
     span_out = span // 4                  # compacted token slots per shard
@@ -535,11 +532,11 @@ def _l1_mesh_hints(mesh, chunks, mm: int = 4, step=None):
         if k == 0:
             continue
         p_s, l_s = L._unpack_tokens(
-            np.asarray(pk_d[s * span_out:s * span_out + k]))
+            np.asarray(pk[s * span_out:s * span_out + k]))
         ps.append(p_s + s * span)
         ls.append(l_s)
         ds.append(np.asarray(
-            dist_d[s * span_out:s * span_out + k]).astype(np.int64))
+            dist[s * span_out:s * span_out + k]).astype(np.int64))
     if not ps:
         return hints
     p = np.concatenate(ps)
@@ -557,6 +554,30 @@ def _l1_mesh_hints(mesh, chunks, mm: int = 4, step=None):
                 out = _emit(src, src.size, mm, md, pi, li, di)
             hints[i] = (mm, out)
     return hints
+
+
+def _l1_mesh_hints(mesh, chunks, mm: int = 4, step=None):
+    """Run the sharded LZX stage over all ``chunks`` (one batch of blocks)
+    and return per-block stream-writer hints [(mm, payload-or-None)]."""
+    import jax.numpy as jnp
+
+    from ..ops import lz_sort as L
+    from ..ops.lz_tpu import MIN_BLOCK_LENGTH
+
+    ndev = mesh.devices.size
+    blocks = [np.asarray(b, dtype=np.uint8) for b in chunks]
+    hints = [(mm, None)] * len(blocks)
+    live = [i for i, b in enumerate(blocks)
+            if MIN_BLOCK_LENGTH <= b.size <= L.MAX_FLAT]
+    if not live:
+        return hints
+    bufs, send, mdist, bucket, nb = _l1_batch_arrays(blocks, live, ndev)
+    if step is None:
+        step = make_l1_step(mesh, mm)
+    pk_d, dist_d, counts_d = step(
+        jnp.asarray(bufs), jnp.asarray(send), jnp.asarray(mdist))
+    return tokens_to_hints(blocks, live, hints, pk_d, dist_d,
+                           np.asarray(counts_d), bucket, nb, ndev, mm)
 
 
 def mesh_l1_compress(mesh: Mesh, data: np.ndarray,

@@ -132,6 +132,62 @@ def worker_main(process_id: int, num_processes: int, coordinator: str,
         # commit depends on it)
         mhu.assert_equal(jnp.asarray(lengths),
                          "per-chunk lengths diverged across processes")
+
+        # ---- phase 2: the FULL level-1 transform stage (LZX sort engine)
+        # sharded across both processes — the whole per-block EncodingTask
+        # scope (CompressedOutputStream.java:512-586), not just entropy.
+        import io as _io
+
+        from ..io.stream import CompressedInputStream, CompressedOutputStream
+        from .engine import (_l1_batch_arrays, make_l1_step,
+                             tokens_to_hints)
+
+        blk = 256 << 10
+        l1_data = mixed_corpus(ndev * blk, seed=43)
+        blocks = [l1_data[i * blk:(i + 1) * blk] for i in range(ndev)]
+        live = list(range(ndev))
+        bufs, send, mdist, bucket, nb = _l1_batch_arrays(blocks, live, ndev)
+        gb = jax.make_array_from_process_local_data(
+            sharding, bufs[process_id * (nb // num_processes):
+                           (process_id + 1) * (nb // num_processes)],
+            bufs.shape)
+        sh1 = NamedSharding(mesh, P("blocks"))
+        rows = nb // num_processes
+        gs = jax.make_array_from_process_local_data(
+            sh1, send[process_id * rows:(process_id + 1) * rows],
+            send.shape)
+        gm = jax.make_array_from_process_local_data(
+            sh1, mdist[process_id * rows:(process_id + 1) * rows],
+            mdist.shape)
+        step1 = make_l1_step(mesh, 4)
+        pk_d, dist_d, counts_d = step1(gb, gs, gm)
+        counts = np.asarray(jax.device_get(
+            [s.data for s in counts_d.addressable_shards][0]))
+        pk = np.asarray(mhu.process_allgather(pk_d, tiled=True))
+        dist = np.asarray(mhu.process_allgather(dist_d, tiled=True))
+        if process_id == 0:
+            hints = tokens_to_hints(blocks, live, [(4, None)] * ndev,
+                                    pk, dist, counts, bucket, nb, ndev, 4)
+            sink = _io.BytesIO()
+            cos = CompressedOutputStream(sink, {
+                "entropy": "NONE", "transform": "LZX", "blockSize": blk,
+                "jobs": 2, "fileSize": l1_data.size})
+            done = {"i": 0}
+
+            def hint_fn(chs):
+                base = done["i"]
+                done["i"] += len(chs)
+                return hints[base:base + len(chs)]
+
+            cos._lz_hint_fn = hint_fn
+            cos.write(l1_data.tobytes())
+            cos.close()
+            wire1 = sink.getvalue()
+            got1 = CompressedInputStream(_io.BytesIO(wire1),
+                                         {"jobs": 2}).read(-1)
+            assert got1 == l1_data.tobytes(), "multihost l1 round-trip"
+            detail += (f"; l1 transform stage sharded across processes: "
+                       f"{l1_data.size} B -> {len(wire1)} B, round-trip ok")
         result = "OK"
     finally:
         if out_path:
