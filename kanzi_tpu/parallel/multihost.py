@@ -28,7 +28,6 @@ or via ``__graft_entry__.dryrun_multihost()`` which spawns both processes.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 
 
@@ -51,7 +50,6 @@ def worker_main(process_id: int, num_processes: int, coordinator: str,
 
     from ..core.bits import BitWriter
     from ..entropy import ans as hans
-    from ..ops import ans as jans
     from ..ops.ans_block import assemble_ans0_wire
     from ..utils.corpus import mixed_corpus
     from .engine import make_pipeline_step
