@@ -191,13 +191,13 @@ EXPORT i64 kz_srt_inverse(const u8* src, i64 srcLen, u8* dst, i64 cap) {
             const i32 r = body[buckets[c]];
             buckets[c]++;
             if (r == 0) continue;
-            for (i32 s = 0; s < r; s++) r2s[s] = r2s[s + 1];
+            std::memmove(r2s, r2s + 1, (size_t)r * sizeof(i32));
             r2s[r] = c;
             c = r2s[0];
         } else {
             if (nb == 1) continue;
             nb--;
-            for (i32 s = 0; s < nb; s++) r2s[s] = r2s[s + 1];
+            std::memmove(r2s, r2s + 1, (size_t)nb * sizeof(i32));
             c = r2s[0];
         }
     }
