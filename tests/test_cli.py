@@ -67,3 +67,24 @@ def test_overwrite_protection(tree, tmp_path):
     assert rc == Error.ERR_OVERWRITE_FILE
     assert main(["-c", "-f", "-i", str(tree / "a.bin"), "-o", str(out),
                  "-l", "1", "-v", "0"]) == 0
+
+
+@pytest.mark.parametrize("chain,entropy", [
+    ("BWT+MTFT+ZRLT", "RANGE"),     # classic bzip-style stack, range coder
+    ("BWTS+SRT", "FPAQ"),           # bijective BWT (in no level preset)
+    ("RLT+TEXT", "HUFFMAN"),
+    ("LZP+ZRLT", "ANS1"),
+    ("MM+PACK", "ANS0"),
+    ("EXE+LZX", "CM"),
+])
+def test_custom_chain_cli_round_trip(tree, tmp_path, chain, entropy):
+    """Non-preset -t/-e combos through the CLI: the chain-string -> 48-bit
+    descriptor -> writer -> reader path for transforms outside the level
+    table (TransformFactory.java:132-158; Kanzi.java -t/-e flags)."""
+    src = tree / "sub" / "b.bin"
+    knz = tmp_path / "c.knz"
+    out = tmp_path / "c.out"
+    assert main(["-c", "-i", str(src), "-o", str(knz), "-t", chain,
+                 "-e", entropy, "-f", "-v", "0"]) == 0
+    assert main(["-d", "-i", str(knz), "-o", str(out), "-f", "-v", "0"]) == 0
+    assert out.read_bytes() == src.read_bytes()
