@@ -88,3 +88,16 @@ def test_custom_chain_cli_round_trip(tree, tmp_path, chain, entropy):
                  "-e", entropy, "-f", "-v", "0"]) == 0
     assert main(["-d", "-i", str(knz), "-o", str(out), "-f", "-v", "0"]) == 0
     assert out.read_bytes() == src.read_bytes()
+
+
+def test_benchmark_harness_smoke():
+    """The sweep harness (app/benchmark.py, Benchmark.java:38-484
+    equivalent) runs level and config benchmarks with verified
+    round-trips."""
+    from kanzi_tpu.app import benchmark as B
+    data = (b"benchmark harness smoke payload 0123456789 " * 1500)
+    res = B.run_levels(data, levels=[0, 1, 5], jobs=2)
+    assert [r.in_size for r in res] == [len(data)] * 3
+    assert res[1].ratio < 1.0          # l1 compresses this
+    r = B.run_config(data, "BWT+RANK+ZRLT", "ANS0", 1 << 20, jobs=1)
+    assert r.out_size < len(data)
