@@ -398,8 +398,11 @@ def mesh_l5_compress(mesh: Mesh, data: np.ndarray,
 
     # pass A (host): each block's TEXT+UTF prefix — the exact bytes the
     # writer's chain will feed the BWT (same ctx: the text codec variant
-    # is chosen by the ENTROPY id, TransformFactory.java:276-286)
+    # is chosen by the ENTROPY id, TransformFactory.java:276-286).  The
+    # outputs + skip flags go into a chain-prefix cache so the writer's
+    # Sequence REUSES them instead of recomputing TEXT+UTF per block.
     pre = []
+    prefix_map: dict = {}
     for bid in range(nblocks):
         blk = data[bid * block_size:(bid + 1) * block_size]
         ctx_a = {"entropy": "ANS0", "blockSize": block_size,
@@ -409,7 +412,10 @@ def mesh_l5_compress(mesh: Mesh, data: np.ndarray,
             tub = seq_a.forward(blk)
         except TransformSkip:
             tub = blk
-        pre.append(np.asarray(tub, dtype=np.uint8))
+        tub = np.asarray(tub, dtype=np.uint8)
+        pre.append(tub)
+        prefix_map[(blk.size, xxhash64(blk.tobytes(), 0))] = \
+            (tub, seq_a.skip_flags, 2)
 
     # pass B (mesh): suffix arrays, one padded block per device row,
     # bucketed by padded length so each bucket is one fixed-shape dispatch
@@ -448,6 +454,7 @@ def mesh_l5_compress(mesh: Mesh, data: np.ndarray,
         "checksum": checksum, "fileSize": data.size})
     cos.ctx["_bwt_sa_map"] = sa_map
     cos.ctx["_ans0_mesh"] = mesh
+    cos.ctx["_chain_prefix"] = prefix_map
     cos.write(data.tobytes())
     cos.close()
     return sink.getvalue()

@@ -150,11 +150,12 @@ class Sequence:
 
     SKIP_MASK = 0xFF
 
-    def __init__(self, transforms: list) -> None:
+    def __init__(self, transforms: list, ctx: dict | None = None) -> None:
         if not 1 <= len(transforms) <= 8:
             raise ValueError("only 1 to 8 transforms allowed")
         self.transforms = transforms
         self.skip_flags = self.SKIP_MASK
+        self._ctx = ctx
 
     def max_encoded_len(self, src_len: int) -> int:
         req = src_len
@@ -167,15 +168,30 @@ class Sequence:
         data = np.asarray(src, dtype=np.uint8)
         if data.size == 0:
             return data
-        sizes = [data.size]
-        for i, t in enumerate(self.transforms):
+        start = 0
+        # chain-prefix cache: a caller that already ran the first k stages
+        # of this chain on this exact block (e.g. the mesh l5 pipeline's
+        # pass A, which needs the TEXT+UTF output to batch suffix arrays)
+        # supplies {(size, xxhash64): (output, skip_flags, k)} via ctx so
+        # the writer does not recompute them.  Flag bits for the prefix
+        # stages are copied verbatim (same positions 7..8-k).
+        pre = (self._ctx or {}).get("_chain_prefix")
+        if pre is not None:
+            from ..utils.xxhash import xxhash64
+            hit = pre.get((data.size, xxhash64(data.tobytes(), 0)))
+            if hit is not None:
+                pdata, pflags, k = hit
+                pmask = (0xFF00 >> k) & 0xFF       # bits of stages 0..k-1
+                self.skip_flags = (self.SKIP_MASK & ~pmask) | (pflags & pmask)
+                data = np.asarray(pdata, dtype=np.uint8)
+                start = k
+        for i in range(start, len(self.transforms)):
             try:
-                out = t.forward(data)
+                out = self.transforms[i].forward(data)
             except TransformSkip:
                 continue
             self.skip_flags &= ~(1 << (7 - i)) & 0xFF
             data = out
-            sizes.append(data.size)
         if self.skip_flags == self.SKIP_MASK:
             raise TransformSkip("all stages skipped")
         return data
@@ -212,4 +228,4 @@ def new_function(ctx: dict, function_type: int) -> Sequence:
         if t != NONE_TYPE or i == 0:
             if len(transforms) < nbtr:
                 transforms.append(new_function_token(ctx, t))
-    return Sequence(transforms)
+    return Sequence(transforms, ctx)
