@@ -294,3 +294,25 @@ def test_bwts_roundtrip(rng):
         enc = BWTS().forward(data)
         out = BWTS().inverse(enc, count=n)
         np.testing.assert_array_equal(out, data)
+
+
+def test_bwt_big_block_u40_inverse(rng, monkeypatch):
+    """Blocks ABOVE 2^24 use the 40-bit packed inverse (native/bwt.cpp
+    bwt_inverse_big) — the u32 fast path now covers up to exactly 16 MiB,
+    so this is the only unit coverage of the big path and its opt-in
+    bigram walk (KANZI_TPU_BWT_BIGRAM=1)."""
+    import os
+
+    from kanzi_tpu.utils.corpus import mixed_corpus
+    from kanzi_tpu.utils.native_transforms import (bwt_forward_native,
+                                                   bwt_inverse_native)
+    if bwt_forward_native(np.zeros(16, np.uint8), 1) is None:
+        pytest.skip("native library unavailable")
+    n = (1 << 24) + 65536
+    data = mixed_corpus(n, seed=24)
+    bwt, idxs = bwt_forward_native(data, 8)
+    inv = bwt_inverse_native(bwt, idxs, 8, jobs=2)
+    np.testing.assert_array_equal(inv, data)
+    monkeypatch.setenv("KANZI_TPU_BWT_BIGRAM", "1")
+    inv2 = bwt_inverse_native(bwt, idxs, 8, jobs=2)
+    np.testing.assert_array_equal(inv2, data)
