@@ -749,8 +749,15 @@ class CompressedInputStream:
         # (the reference threads the remaining jobs into each task's ctx so
         # a lone big block still multi-threads its BWT inversion while many
         # blocks in flight get one core each — CompressedInputStream.java
-        # ctx plumbing + BWT.java:568-674)
-        ctx["jobs"] = max(1, self.jobs // max(1, len(self._inflight) or 1))
+        # ctx plumbing + BWT.java:568-674).  Computed DETERMINISTICALLY
+        # from the declared stream size: sampling the live in-flight count
+        # here raced with _fill's submissions (the first block would claim
+        # the whole budget while later blocks were already starting).
+        if self.output_size:
+            nblocks = max(1, -(-self.output_size // self.block_size))
+        else:
+            nblocks = self.jobs        # unknown size: assume enough blocks
+        ctx["jobs"] = max(1, self.jobs // min(self.jobs, nblocks))
         return decode_block(payload, nbits, self.transform_type,
                             self.entropy_type, self.block_size, ctx,
                             self.listeners, bid)

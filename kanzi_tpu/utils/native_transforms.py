@@ -297,6 +297,16 @@ def zrlt_inverse_native(src: np.ndarray, count: int | None):
             raise ValueError("ZRLT inverse: invalid stream")
         if n <= cap:
             return dst[:n]
+        # undersized buffer: the kernel reports the true total but wrote
+        # (correctly) only the first cap bytes.  With a known count the
+        # prefix is all the caller keeps — truncate like the Python
+        # build-then-truncate spec.  Without one, retry exactly, capped at
+        # the format's 1 GiB block bound so a corrupt stream of
+        # near-2^41-zero runs cannot drive a huge allocation.
+        if count is not None:
+            return dst
+        if n > (1 << 30) + (1 << 16):
+            raise ValueError("ZRLT inverse: output exceeds block bound")
         cap = n  # exact retry
     raise ValueError("ZRLT inverse: buffer sizing failed")
 

@@ -330,12 +330,15 @@ static inline int64_t hb_varint(BitRd& b) {
     return res;
 }
 
-// signed Exp-Golomb byte (ExpGolombDecoder.java:25-100)
+// signed Exp-Golomb byte (ExpGolombDecoder.java:25-100).  Legal byte
+// codes have k <= 7 (magnitude <= 255); reject beyond k=8 — both to flag
+// the corrupt stream early and because hb_read(b, k+1) with k >= 32
+// would shift out of the 32-bit mask (UB).
 static inline int hb_expg_signed(BitRd& b) {
     if (hb_bit(b) == 1) return 0;
     int k = 1;
     while (!b.err && hb_bit(b) == 0) {
-        if (++k > 32) { b.err = true; return 0; }
+        if (++k > 8) { b.err = true; return 0; }
     }
     uint32_t res = hb_read(b, k + 1);
     int sgn = res & 1;
@@ -570,20 +573,28 @@ EXPORT int64_t kz_huffman_block_decode(const uint8_t* pay, int64_t nbits,
         uint8_t* o2 = o1 + frag;
         uint8_t* o3 = o2 + frag;
         int64_t p0 = P[0], p1 = P[1], p2 = P[2], p3 = P[3];
+        // corrupt streams can under-declare a stream's bit size, letting
+        // its cursor walk up to 12*frag bits past its budget before the
+        // post-loop mismatch check fires: clamp every window read at
+        // nbits (reads then stay within the caller's 8-byte pad; the
+        // clamped garbage decode is rejected by that same check)
+        const int64_t pmax = nbits;
         #define HB_WIN(pp) ((uint32_t)((((uint32_t)pay[(pp) >> 3] << 16)     \
                           | ((uint32_t)pay[((pp) >> 3) + 1] << 8)            \
                           |  (uint32_t)pay[((pp) >> 3) + 2])                 \
                           >> (12 - ((pp) & 7))) & 0xFFF)
+        #define HB_CLAMP(pp) ((pp) < pmax ? (pp) : pmax)
         for (int64_t i = 0; i < frag; i++) {
-            const uint32_t w0 = HB_WIN(p0);
-            const uint32_t w1 = HB_WIN(p1);
-            const uint32_t w2 = HB_WIN(p2);
-            const uint32_t w3 = HB_WIN(p3);
+            const uint32_t w0 = HB_WIN(HB_CLAMP(p0));
+            const uint32_t w1 = HB_WIN(HB_CLAMP(p1));
+            const uint32_t w2 = HB_WIN(HB_CLAMP(p2));
+            const uint32_t w3 = HB_WIN(HB_CLAMP(p3));
             o0[i] = sym_lut[w0]; p0 += len_lut[w0];
             o1[i] = sym_lut[w1]; p1 += len_lut[w1];
             o2[i] = sym_lut[w2]; p2 += len_lut[w2];
             o3[i] = sym_lut[w3]; p3 += len_lut[w3];
         }
+        #undef HB_CLAMP
         #undef HB_WIN
         if (p0 - P[0] != sbits[0] || p1 - P[1] != sbits[1]
             || p2 - P[2] != sbits[2] || p3 - P[3] != sbits[3])
