@@ -54,6 +54,10 @@ _enable_compile_cache()
 
 BASELINE = {1: 0.416, 3: 0.237, 5: 0.123, 8: 0.036, 9: 0.014}
 # silesia e2e enc GB/s, BASELINE.md
+# full per-level reference silesia ENCODE rates (GB/s, BASELINE.md)
+BASELINE_ENC = {1: 0.416, 2: 0.302, 3: 0.237, 4: 0.165, 5: 0.123,
+                6: 0.111, 7: 0.126, 8: 0.036, 9: 0.014}
+REF_CORES = 16          # the reference numbers come from a 16-core 9950X
 # reference silesia DECODE rates (GB/s) from BASELINE.md enc/dec ms pairs
 BASELINE_DEC = {1: 1.158, 2: 0.669, 3: 0.451, 4: 0.285, 5: 0.282,
                 6: 0.269, 7: 0.203, 8: 0.035, 9: 0.014}
@@ -399,6 +403,28 @@ def main() -> None:
         calib = box_calibration(data, err)
     except Exception as e:  # pragma: no cover
         print(f"box calibration failed: {e}", file=err)
+    # annotate scoreboard rows with per-core parity, raw AND calibrated
+    # (raw divides by the reference's per-core rate as if cores were
+    # equal; calibrated divides that by the measured bzip2 core factor)
+    try:
+        for b in (board, real_board):
+            for lv, row in b.items():
+                jobs = row.get("jobs", 1) or 1
+                enc_pc = row["host_gbps"] / jobs
+                dec_pc = row["host_dec_gbps"] / jobs
+                row["x_ref_core_enc"] = round(
+                    enc_pc / (BASELINE_ENC[lv] / REF_CORES), 3)
+                row["x_ref_core_dec"] = round(
+                    dec_pc / (BASELINE_DEC[lv] / REF_CORES), 3)
+                if calib:
+                    row["x_ref_core_enc_calibrated"] = round(
+                        row["x_ref_core_enc"]
+                        / calib["core_speed_vs_ref_enc"], 2)
+                    row["x_ref_core_dec_calibrated"] = round(
+                        row["x_ref_core_dec"]
+                        / calib["core_speed_vs_ref_dec"], 2)
+    except Exception as e:  # pragma: no cover
+        print(f"parity annotation failed: {e}", file=err)
     dev_e2e = dev_pipe = d2h = ans0 = ans0_dec = 0.0
     ratio_d = 1.0
     try:
